@@ -1,0 +1,152 @@
+"""End-to-end orchestration: index build + BM25 query + pairwise paths.
+
+This is SURVEY.md §3.2 as code. The uncompressed path (M0-M4) runs
+everything through Catalyst-native DataFrame ops; the segment/WAND path
+(M5/M6) lives in segments.py / wand.py and is verified against this
+exhaustive path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .bm25 import explode_query_terms, score_bm25, topk
+from .config import FlameConfig
+from .corpus import (
+    CorpusArtifacts,
+    add_doc_id,
+    add_features,
+    make_bpe_tokenize_udf,
+    make_lut_udf,
+    make_shingle_udf,
+    make_stage1_udf,
+    make_ws_canon_udf,
+    prepare_docs,
+)
+from .postings import (
+    CorpusStats,
+    build_postings,
+    corpus_stats,
+    doc_lengths,
+    term_stats,
+)
+from .similarity import (
+    cosine_pairs,
+    otsu_threshold_distributed,
+    similarity_score_multiset,
+    tfidf_normalized,
+)
+
+
+@dataclass
+class FlameIndex:
+    """Materialized (cached) index state for a corpus."""
+
+    cfg: FlameConfig
+    artifacts: CorpusArtifacts
+    docs: DataFrame  # doc_id, text, norm_text, tokens, features
+    postings: DataFrame  # term, doc_id, tf
+    doc_lens: DataFrame  # doc_id, dl
+    stats_df: DataFrame  # term, df, cf
+    stats: CorpusStats
+    postings_dl: DataFrame  # term, doc_id, tf, dl (scoring-ready)
+
+
+def build_index(raw_docs: DataFrame, cfg: FlameConfig) -> FlameIndex:
+    """raw_docs(doc_id, text) -> fully prepared index state.
+
+    One shuffle for TF, one for doc-length attach; stats are small
+    aggregates. All intermediates cached because both query paths and
+    the pairwise path reuse them.
+    """
+    docs, artifacts = prepare_docs(raw_docs, cfg)
+    term_col = "features" if cfg.term_mode == "lno" else "tokens"
+    if cfg.term_mode == "lno":
+        docs = add_features(docs, artifacts, cfg)
+    docs = docs.persist()
+
+    postings = build_postings(docs, term_col).persist()
+    doc_lens = doc_lengths(docs, term_col).persist()
+    stats_df = term_stats(postings).persist()
+    stats = corpus_stats(doc_lens)
+    postings_dl = postings.join(doc_lens, "doc_id").persist()
+    return FlameIndex(
+        cfg=cfg,
+        artifacts=artifacts,
+        docs=docs,
+        postings=postings,
+        doc_lens=doc_lens,
+        stats_df=stats_df,
+        stats=stats,
+        postings_dl=postings_dl,
+    )
+
+
+def query_terms_df(
+    spark: SparkSession, queries: list[dict], index: FlameIndex
+) -> DataFrame:
+    """Run the SAME normalize/tokenize/shingle pipeline over query texts
+    (SURVEY §3.2 q1) using the broadcast index artifacts."""
+    cfg = index.cfg
+    art = index.artifacts
+    qdf = spark.createDataFrame(
+        [(q["query_id"], q["query_text"]) for q in queries],
+        "query_id string, query_text string",
+    )
+    sc = spark.sparkContext
+    ws = make_ws_canon_udf()
+    stage1 = make_stage1_udf(art.norm.bigram_rules if cfg.bigram_enabled else None)
+    qdf = qdf.withColumn("t", stage1(ws(F.col("query_text"))))
+    lut_bc = sc.broadcast(art.norm.main_lut())
+    qdf = qdf.withColumn("t", make_lut_udf(lut_bc)(F.col("t")))
+    plut = art.norm.phonetic_lut()
+    if plut is not None:
+        qdf = qdf.withColumn(
+            "t", make_lut_udf(sc.broadcast(plut))(F.col("t"))
+        )
+    if cfg.tokenizer == "bpe":
+        model_bc = sc.broadcast(art.bpe)
+        qdf = qdf.withColumn("tokens", make_bpe_tokenize_udf(model_bc)(F.col("t")))
+    else:
+        qdf = qdf.withColumn(
+            "tokens",
+            F.filter(F.split(F.col("t"), "[^a-z0-9]+"), lambda x: x != ""),
+        )
+    if cfg.term_mode == "lno":
+        encoder_bc = sc.broadcast(art.encoder)
+        shingle = make_shingle_udf(encoder_bc, cfg.ngram, cfg.n_out)
+        qdf = qdf.withColumn("terms", shingle(F.col("tokens")))
+    else:
+        qdf = qdf.withColumn("terms", F.col("tokens"))
+    return qdf.select("query_id", "terms")
+
+
+def bm25_topk(
+    spark: SparkSession, queries: list[dict], index: FlameIndex, k: int = 10
+) -> DataFrame:
+    """Exhaustive (uncompressed) BM25 top-k — the rank-identity baseline."""
+    qterms = explode_query_terms(query_terms_df(spark, queries, index))
+    scored = score_bm25(
+        qterms,
+        index.postings_dl,
+        index.stats_df,
+        index.stats,
+        index.cfg.bm25_k1,
+        index.cfg.bm25_b,
+    )
+    return topk(scored, k)
+
+
+def pairwise_similarity(index: FlameIndex) -> DataFrame:
+    """FLAME dist_mat parity: (doc_i, doc_j, score), i<j, nonzero."""
+    weights = tfidf_normalized(index.postings, index.stats_df, index.stats.n_docs)
+    return cosine_pairs(weights)
+
+
+def auto_threshold(index: FlameIndex, pairs: DataFrame) -> float:
+    """Otsu over the nonzero dist_mat multiset (flame.py:689-701)."""
+    n_nonzero = index.doc_lens.filter(F.col("dl") > 0).count()
+    scores = similarity_score_multiset(pairs, n_nonzero)
+    return otsu_threshold_distributed(scores)

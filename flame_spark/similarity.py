@@ -1,0 +1,187 @@
+"""Pairwise TF-IDF cosine similarity + auto-thresholding (FLAME parity).
+
+Reproduces the reference's sparse pipeline (flame.py:741-813) relationally:
+
+- TF-IDF: sklearn ``TfidfTransformer`` defaults (flame.py:795) —
+  idf = ln((1+N)/(1+df)) + 1, w = tf*idf, row-L2-normalised.
+- cosine: the sparse product X·Xᵀ becomes a self-equi-join of the
+  normalised posting table on ``term`` (SURVEY §2 J1); only doc pairs
+  sharing >= 1 term produce rows — exactly the nonzero structure of the
+  reference's CSR result. Upper triangle (i < j) like the reports
+  (flame.py:1169-1170).
+- auto threshold: Otsu over the nonzero similarity entries INCLUDING
+  the diagonal 1.0 self-similarities and both (i,j)/(j,i) copies
+  (flame.py:689-701, :810); skimage's 256-bin histogram algorithm is
+  reimplemented exactly (skimage.filters.threshold_otsu, public).
+
+Determinism: norms and pair scores use fixed-order summation
+(contributions sorted by term, left fold) so results are bit-identical
+across partitionings and match the NumPy oracle.
+
+Scale: the term self-join is the one genuinely quadratic-risk stage;
+AQE skew-join splitting is enabled in the session and extremely hot
+terms can be excluded via ``max_df_fraction`` (a documented engine
+extension — the reference keeps all terms).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from .bm25 import _det_sum
+
+
+def tfidf_normalized(
+    postings: DataFrame, term_stats_df: DataFrame, n_docs: int
+) -> DataFrame:
+    """postings(term, doc_id, tf) -> (term, doc_id, wn) L2-normalised."""
+    from .floatops import np_log
+
+    n = float(n_docs)
+    # idf over the per-term table (distinct terms) via np.log so the
+    # libm matches the oracle bit-for-bit; then joined onto postings.
+    stats_idf = term_stats_df.select(
+        "term",
+        np_log((1.0 + F.lit(n)) / (1.0 + F.col("df"))).alias("_lg"),
+    ).withColumn("idf", F.col("_lg") + 1.0).drop("_lg")
+    w = postings.join(stats_idf, "term").withColumn(
+        "w", F.col("tf").cast("double") * F.col("idf")
+    )
+    norms = (
+        w.select(
+            "doc_id", F.col("term").alias("t"), (F.col("w") * F.col("w")).alias("val")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sqrt(
+                _det_sum(F.col("t").alias("t"), F.col("val").alias("val"))
+            ).alias("norm")
+        )
+    )
+    return (
+        w.join(norms, "doc_id")
+        .withColumn("wn", F.col("w") / F.col("norm"))
+        .select("term", "doc_id", "wn")
+    )
+
+
+def cosine_pairs(
+    weights: DataFrame, max_df_fraction: float | None = None, n_docs: int | None = None
+) -> DataFrame:
+    """-> (doc_i, doc_j, score), i < j, score > 0 pairs only."""
+    w = weights
+    if max_df_fraction is not None and n_docs:
+        hot = (
+            w.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df_fraction * n_docs)
+            .select("term")
+        )
+        w = w.join(F.broadcast(hot), "term", "left_anti")
+    a = w.alias("a")
+    b = w.alias("b")
+    prods = (
+        a.join(b, "term")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+            F.col("term").alias("t"),
+            (F.col("a.wn") * F.col("b.wn")).alias("val"),
+        )
+    )
+    return prods.groupBy("doc_i", "doc_j").agg(
+        _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# auto threshold (flame.py:689-708)
+# ---------------------------------------------------------------------------
+
+
+def otsu_from_histogram(counts: np.ndarray, centers: np.ndarray) -> float:
+    """Otsu's method on a precomputed histogram — the exact formula
+    skimage.filters.threshold_otsu applies to its internal histogram."""
+    counts = counts.astype(np.float64)
+    weight1 = np.cumsum(counts)
+    weight2 = np.cumsum(counts[::-1])[::-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean1 = np.cumsum(counts * centers) / weight1
+        mean2 = (
+            np.cumsum((counts * centers)[::-1]) / np.cumsum(counts[::-1])
+        )[::-1]
+    variance12 = weight1[:-1] * weight2[1:] * (mean1[:-1] - mean2[1:]) ** 2
+    idx = int(np.argmax(variance12))
+    return float(centers[idx])
+
+
+def otsu_threshold_local(scores: np.ndarray, nbins: int = 256) -> float:
+    if scores.size == 0:
+        return 0.01  # flame.py:690-692 fallback
+    lo, hi = float(scores.min()), float(scores.max())
+    if lo == hi:
+        return lo
+    counts, edges = np.histogram(scores, bins=nbins, range=(lo, hi))
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    return otsu_from_histogram(counts, centers)
+
+
+def similarity_score_multiset(
+    pairs: DataFrame, n_docs_with_features: int
+) -> DataFrame:
+    """The nonzero-entry multiset of the reference's intra-corpus
+    dist_mat: every i<j pair twice + one 1.0 diagonal per doc with a
+    nonzero feature vector (flame.py:810)."""
+    spark = pairs.sparkSession
+    doubled = pairs.select(F.col("score")).union(pairs.select(F.col("score")))
+    ones = spark.range(n_docs_with_features).select(
+        F.lit(1.0).alias("score")
+    )
+    return doubled.union(ones)
+
+
+def otsu_threshold_distributed(scores_df: DataFrame, nbins: int = 256) -> float:
+    """Two-pass distributed Otsu: global min/max, then per-batch
+    np.histogram against the SAME driver-computed edges (searchsorted
+    binning — bit-identical to the local/oracle path), summed."""
+    row = scores_df.agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    if row["n"] == 0:
+        return 0.01
+    lo, hi = float(row["lo"]), float(row["hi"])
+    if lo == hi:
+        return lo
+    edges = np.histogram_bin_edges(
+        np.array([lo, hi]), bins=nbins, range=(lo, hi)
+    )
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            c, _ = np.histogram(pdf["score"].to_numpy(np.float64), bins=edges)
+            yield pd.DataFrame({"bin": np.arange(nbins), "cnt": c})
+
+    hist_rows = (
+        scores_df.mapInPandas(batches, schema="bin int, cnt long")
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    counts = np.zeros(nbins, dtype=np.int64)
+    for r in hist_rows:
+        counts[int(r["bin"])] = int(r["cnt"])
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    return otsu_from_histogram(counts, centers)
+
+
+def percentile_threshold(scores_df: DataFrame, percentile: float = 99.0) -> float:
+    """Exact percentile fallback (flame.py:702-706; np.percentile's
+    linear interpolation matches Spark's ``percentile``)."""
+    row = scores_df.agg(
+        F.expr(f"percentile(score, {percentile / 100.0})").alias("p")
+    ).collect()[0]
+    return float(row["p"]) if row["p"] is not None else 0.01
