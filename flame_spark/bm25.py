@@ -68,7 +68,10 @@ def score_bm25(
     tf_comp = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + F.lit(k1) * denom_dl
     )
-    contrib = F.col("qtf") * F.col("idf") * tf_comp
+    # association order qtf * (idf * tf_comp) is load-bearing: the
+    # segment/WAND path precomputes s = idf*tf_comp at build time and
+    # multiplies by qtf at query time — same float ops, bit-identical.
+    contrib = F.col("qtf") * (F.col("idf") * tf_comp)
     scored = joined.select(
         "query_id",
         "doc_id",

@@ -1,0 +1,165 @@
+"""Resumable, checkpointed segment builds with per-partition lineage.
+
+Production design targets Iceberg (atomic overwritePartitions + snapshot
+ids); the Iceberg runtime jars are not present in this sandbox, so the
+same protocol is implemented over a plain parquet warehouse:
+
+- the segment table is laid out as ``segments/shard=NN/`` partitions;
+- a ``lineage`` table records one row per completed shard:
+  (shard, input_snapshot, rows_in, rows_out, digest, completed_at);
+- resume = anti-join: shards already recorded for the SAME
+  input_snapshot are skipped; each shard write is idempotent (full
+  overwrite of its own partition directory followed by the lineage
+  append), so a kill between the two leaves a re-doable shard, never a
+  half-visible one;
+- a ``metrics`` table accumulates (run_id, stage, metric, value) rows.
+
+The digest is order-insensitive (sum of xxhash64 over canonicalized
+row bytes) so it can be recomputed distributed at any parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .segments import SEGMENT_SCHEMA
+
+
+class SegmentWarehouse:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def segments_path(self) -> str:
+        return os.path.join(self.root, "segments")
+
+    @property
+    def lineage_path(self) -> str:
+        return os.path.join(self.root, "lineage")
+
+    @property
+    def metrics_path(self) -> str:
+        return os.path.join(self.root, "metrics")
+
+    # -- lineage ------------------------------------------------------------
+
+    def completed_shards(self, spark: SparkSession, input_snapshot: str) -> set[int]:
+        if not os.path.isdir(self.lineage_path):
+            return set()
+        rows = (
+            spark.read.parquet(self.lineage_path)
+            .filter(F.col("input_snapshot") == input_snapshot)
+            .select("shard")
+            .collect()
+        )
+        return {int(r["shard"]) for r in rows}
+
+    def record_lineage(
+        self,
+        spark: SparkSession,
+        shard: int,
+        input_snapshot: str,
+        rows_in: int,
+        rows_out: int,
+        digest: str,
+    ) -> None:
+        row = [
+            (
+                int(shard),
+                input_snapshot,
+                int(rows_in),
+                int(rows_out),
+                digest,
+                float(time.time()),
+            )
+        ]
+        spark.createDataFrame(
+            row,
+            "shard int, input_snapshot string, rows_in long, rows_out long, "
+            "digest string, completed_at double",
+        ).coalesce(1).write.mode("append").parquet(self.lineage_path)
+
+    def record_metric(
+        self, spark: SparkSession, run_id: str, stage: str, metric: str, value: float
+    ) -> None:
+        spark.createDataFrame(
+            [(run_id, stage, metric, float(value))],
+            "run_id string, stage string, metric string, value double",
+        ).coalesce(1).write.mode("append").parquet(self.metrics_path)
+
+    # -- segment build ------------------------------------------------------
+
+    def build_checkpointed(
+        self,
+        postings_scored: DataFrame,
+        n_docs: int,
+        n_shards: int,
+        block_size: int,
+        input_snapshot: str,
+        fail_after_shards: int | None = None,
+    ) -> None:
+        """Build all shards, skipping ones already recorded in lineage.
+
+        ``fail_after_shards`` injects a crash after N shard commits —
+        used by the kill-and-resume test.
+
+        Scale note: locally this loops shards on the driver (each shard
+        is one narrow job); on a real cluster the same protocol runs as
+        ONE job with dynamic-partition-overwrite — the loop exists to
+        make per-shard commit/kill semantics testable.
+        """
+        from .segments import build_segments, shard_span
+
+        spark = postings_scored.sparkSession
+        done = self.completed_shards(spark, input_snapshot)
+        span = shard_span(n_docs, n_shards)
+        built = 0
+        for shard in range(n_shards):
+            if shard in done:
+                continue
+            lo, hi = shard * span, (shard + 1) * span
+            part = postings_scored.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            seg = build_segments(part, n_docs, n_shards, block_size).filter(
+                F.col("shard") == shard
+            )
+            out_dir = os.path.join(self.segments_path, f"shard={shard}")
+            seg.drop("shard").write.mode("overwrite").parquet(out_dir)
+            written = spark.read.parquet(out_dir)
+            rows_out = written.count()
+            rows_in = part.count()
+            digest_row = written.agg(
+                F.sum(
+                    F.xxhash64(
+                        "term", "n_docs", "first_doc", "last_doc", "doc_deltas"
+                    ).cast("decimal(38,0)")
+                ).alias("d")
+            ).collect()[0]
+            digest = str(digest_row["d"])
+            self.record_lineage(
+                spark, shard, input_snapshot, rows_in, rows_out, digest
+            )
+            built += 1
+            if fail_after_shards is not None and built >= fail_after_shards:
+                raise RuntimeError(f"injected failure after {built} shards")
+
+    def read_segments(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.segments_path).parquet(
+            self.segments_path
+        )
+
+
+def snapshot_id(df: DataFrame, key_cols: list[str]) -> str:
+    """Deterministic input-snapshot id: order-insensitive xxhash sum over
+    the key columns + row count (stand-in for an Iceberg snapshot id)."""
+    row = df.agg(
+        F.sum(F.xxhash64(*key_cols).cast("decimal(38,0)")).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return f"{row['h']}-{row['n']}"

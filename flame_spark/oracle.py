@@ -285,7 +285,8 @@ def oracle_bm25_topk(
         for d, tf in postings_by_term[t]:
             dl = idx.doc_len[d]
             tf_comp = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / idx.avgdl))
-            contribs.setdefault(d, []).append((t, qtf[t] * idf * tf_comp))
+            # qtf * (idf * tf_comp): association matches engine + segments
+            contribs.setdefault(d, []).append((t, qtf[t] * (idf * tf_comp)))
     for d, lst in contribs.items():
         s = 0.0
         for _, v in sorted(lst):  # sorted by term — engine fold order

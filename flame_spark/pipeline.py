@@ -139,6 +139,37 @@ def bm25_topk(
     return topk(scored, k)
 
 
+def build_segment_table(index: FlameIndex) -> DataFrame:
+    """Compressed block-max segment table (M5) for the WAND path."""
+    from .segments import build_segments, postings_with_scores
+
+    scored = postings_with_scores(
+        index.postings_dl,
+        index.stats_df,
+        index.stats,
+        index.cfg.bm25_k1,
+        index.cfg.bm25_b,
+    )
+    return build_segments(
+        scored, index.stats.n_docs, index.cfg.n_shards, index.cfg.block_size
+    )
+
+
+def wand_bm25_topk(
+    spark: SparkSession,
+    queries: list[dict],
+    index: FlameIndex,
+    segments: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Block-max WAND top-k over segments (M6) — identical results to
+    ``bm25_topk`` by construction (verified by tests)."""
+    from .wand import wand_topk
+
+    qterms = explode_query_terms(query_terms_df(spark, queries, index))
+    return wand_topk(qterms, segments, k, index.cfg.block_size)
+
+
 def pairwise_similarity(index: FlameIndex) -> DataFrame:
     """FLAME dist_mat parity: (doc_i, doc_j, score), i<j, nonzero."""
     weights = tfidf_normalized(index.postings, index.stats_df, index.stats.n_docs)

@@ -1,0 +1,171 @@
+"""Compressed posting segments: delta-gap + varbyte + block-max (F7).
+
+Target-side operator (no reference analog; SURVEY §2.10 F7, FIXTURES §4).
+Postings are sharded by DOC RANGE (``shard = doc_id // shard_span``) —
+the classic search-engine document-sharding layout:
+
+- every shard holds complete posting lists for its doc range, so a
+  query can be answered per-shard and merged with a global top-k;
+- hot formulaic terms are split across shards automatically (a term
+  has at most shard_span postings per shard) — no single reducer ever
+  owns a whole hot posting list;
+- shard sizes are uniform by construction (dense doc_ids), so the
+  build has no stragglers and scaling N -> 4N executors is linear.
+
+Per (shard, term) the segment row stores doc-id deltas and tf values
+varbyte-encoded, per-posting BM25 term scores (idf * tf_comp, float64
+LE — the exact values the exhaustive scorer computes), and one
+block-max per BLOCK_SIZE postings for WAND pruning.
+
+Encoding runs in ``applyInPandas`` over (shard, term) groups —
+Arrow-batched NumPy, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .constants import BLOCK_SIZE
+from .postings import CorpusStats
+
+SEGMENT_SCHEMA = (
+    "shard int, term long, n_docs int, first_doc long, last_doc long, "
+    "doc_deltas binary, tfs binary, scores binary, block_max array<double>"
+)
+
+
+# ---------------------------------------------------------------------------
+# varbyte codec (pure NumPy)
+# ---------------------------------------------------------------------------
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varbyte: 7 bits per byte, high bit = continuation.
+    Fully vectorized (no per-value Python loop)."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return b""
+    # bytes per value = ceil(bitlen/7), min 1
+    nb = np.ones(vals.size, dtype=np.int64)
+    v = vals >> np.uint64(7)
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    total = int(ends[-1])
+    pos = np.arange(total, dtype=np.int64)
+    value_idx = np.searchsorted(ends, pos, side="right")
+    offset = (pos - starts[value_idx]).astype(np.uint64)
+    chunk = (vals[value_idx] >> (offset * np.uint64(7))) & np.uint64(0x7F)
+    cont = (pos != ends[value_idx] - 1).astype(np.uint64) * np.uint64(0x80)
+    return (chunk | cont).astype(np.uint8).tobytes()
+
+
+def varbyte_decode(data: bytes) -> np.ndarray:
+    """Vectorized decode: continuation-bit scan, no per-value Python."""
+    if not data:
+        return np.array([], dtype=np.uint64)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    cont = (raw & 0x80) != 0
+    ends = np.nonzero(~cont)[0]
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    payload = (raw & 0x7F).astype(np.uint64)
+    out = np.zeros(ends.size, dtype=np.uint64)
+    pos = np.arange(raw.size, dtype=np.int64)
+    value_idx = np.searchsorted(ends, pos)  # which value each byte belongs to
+    offset = pos - starts[value_idx]
+    np.add.at(out, value_idx, payload << (offset.astype(np.uint64) * np.uint64(7)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# segment build
+# ---------------------------------------------------------------------------
+
+
+def shard_span(n_docs: int, n_shards: int) -> int:
+    return max(1, -(-n_docs // n_shards))  # ceil
+
+
+def postings_with_scores(
+    postings_dl: DataFrame,
+    term_stats_df: DataFrame,
+    stats: CorpusStats,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """postings + per-posting BM25 term score s = idf * tf_comp.
+
+    idf via np.log (floatops) so the stored floats are bit-identical to
+    the exhaustive scorer's.
+    """
+    from .floatops import np_log
+
+    n = float(stats.n_docs)
+    stats_idf = term_stats_df.select(
+        "term",
+        np_log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias(
+            "idf"
+        ),
+    )
+    denom_dl = 1.0 - b + b * F.col("dl").cast("double") / F.lit(float(stats.avgdl))
+    tf_comp = (F.col("tf") * (k1 + 1.0)) / (F.col("tf") + F.lit(k1) * denom_dl)
+    return postings_dl.join(stats_idf, "term").withColumn(
+        "s", F.col("idf") * tf_comp
+    )
+
+
+def build_segments(
+    postings_scored: DataFrame,
+    n_docs: int,
+    n_shards: int,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """(term, doc_id, tf, s) -> segment rows, one per (shard, term)."""
+    span = shard_span(n_docs, n_shards)
+    with_shard = postings_scored.withColumn(
+        "shard", (F.col("doc_id") / F.lit(span)).cast("int")
+    )
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        scores = pdf["s"].to_numpy(np.float64)
+        deltas = np.empty_like(docs)
+        deltas[0] = docs[0]
+        deltas[1:] = np.diff(docs)
+        nblocks = -(-docs.size // block_size)
+        bmax = [
+            float(scores[i * block_size : (i + 1) * block_size].max())
+            for i in range(nblocks)
+        ]
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "term": [int(pdf["term"].iloc[0])],
+                "n_docs": [int(docs.size)],
+                "first_doc": [int(docs[0])],
+                "last_doc": [int(docs[-1])],
+                "doc_deltas": [varbyte_encode(deltas.astype(np.uint64))],
+                "tfs": [varbyte_encode(tfs.astype(np.uint64))],
+                "scores": [scores.tobytes()],
+                "block_max": [bmax],
+            }
+        )
+
+    return with_shard.groupBy("shard", "term").applyInPandas(
+        encode_group, schema=SEGMENT_SCHEMA
+    )
+
+
+def decode_segment_row(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_ids, tfs, scores) for one segment row."""
+    deltas = varbyte_decode(bytes(row["doc_deltas"])).astype(np.int64)
+    docs = np.cumsum(deltas)
+    tfs = varbyte_decode(bytes(row["tfs"])).astype(np.int64)
+    scores = np.frombuffer(bytes(row["scores"]), dtype=np.float64)
+    return docs, tfs, scores

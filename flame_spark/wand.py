@@ -1,0 +1,143 @@
+"""Block-max WAND top-k scoring over compressed segments (F8).
+
+Query plan (SURVEY §3.2 q2-q4):
+
+  q2  query terms (tiny, with qtf + idf precomputed at index build) are
+      broadcast-joined to the segment table on ``term`` — parquet
+      min/max stats on the sorted ``term`` column prune segment files;
+  q3  per (query_id, shard) an ``applyInPandas`` scorer decodes the
+      varbyte postings and runs vectorized block-max WAND: candidate
+      docs are ranked by their block-level score upper bound
+      UB(d) = sum_t qtf_t * block_max_t[block(d)] and evaluated
+      exactly in UB-descending chunks until UB < theta (the running
+      k-th best exact score) — every skipped doc provably cannot enter
+      the top-k, so results are IDENTICAL to exhaustive scoring;
+  q4  global top-k: shards emit their local top-k (a doc lives in
+      exactly one doc-range shard), one window row_number <= k with the
+      deterministic (score desc, doc_id asc) tie-break.
+
+Bit-exactness: exact evaluation accumulates per-term contributions in
+ascending-term order — the same fixed fold order as the exhaustive
+path and the oracle — and uses the stored float64 scores the
+exhaustive path computed, so scores are bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .segments import varbyte_decode
+
+
+def wand_topk_per_shard(
+    qseg: DataFrame, k: int, block_size: int
+) -> DataFrame:
+    """qseg: (query_id, shard, term, qtf, n_docs, first_doc, last_doc,
+    doc_deltas, scores, block_max) -> per-shard top-k
+    (query_id, doc_id, score)."""
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = pdf["query_id"].iloc[0]
+        # decode every term's postings for this shard; iterate terms in
+        # ascending order — the global deterministic fold order
+        pdf = pdf.sort_values("term")
+        term_docs: list[np.ndarray] = []
+        term_scores: list[np.ndarray] = []
+        term_qtf: list[float] = []
+        term_bfirst: list[np.ndarray] = []  # first doc of each block
+        term_bmax: list[np.ndarray] = []
+        for _, row in pdf.iterrows():
+            deltas = varbyte_decode(bytes(row["doc_deltas"])).astype(np.int64)
+            docs = np.cumsum(deltas)
+            scores = np.frombuffer(bytes(row["scores"]), dtype=np.float64)
+            term_docs.append(docs)
+            term_scores.append(scores)
+            term_qtf.append(float(row["qtf"]))
+            term_bfirst.append(docs[::block_size])
+            bm = np.asarray(row["block_max"], dtype=np.float64)
+            term_bmax.append(bm)
+
+        # candidate docs = union of posting docs in this shard
+        all_docs = np.unique(np.concatenate(term_docs))
+        if all_docs.size == 0:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+
+        # block-level upper bound per candidate doc
+        ub = np.zeros(all_docs.size, dtype=np.float64)
+        for docs, qtf, bfirst, bmax in zip(
+            term_docs, term_qtf, term_bfirst, term_bmax
+        ):
+            # block index a doc would fall into for this term
+            bi = np.searchsorted(bfirst, all_docs, side="right") - 1
+            bi = np.clip(bi, 0, bmax.size - 1)
+            ub += qtf * bmax[bi]
+
+        order = np.argsort(-ub, kind="stable")
+        theta = -np.inf
+        top_docs: np.ndarray | None = None
+        top_scores: np.ndarray | None = None
+        chunk = max(k * 4, 256)
+        for start in range(0, order.size, chunk):
+            sel = order[start : start + chunk]
+            # strict <: a doc with UB == theta could still tie the k-th
+            # score and win on the doc_id-asc tie-break
+            if top_docs is not None and ub[sel[0]] < theta and top_docs.size >= k:
+                break  # no remaining doc can reach the k-th best
+            cand = all_docs[sel]
+            exact = np.zeros(cand.size, dtype=np.float64)
+            # ascending-term accumulation == deterministic fold order
+            for docs, scores, qtf in zip(term_docs, term_scores, term_qtf):
+                pos = np.searchsorted(docs, cand)
+                pos_c = np.clip(pos, 0, docs.size - 1)
+                hit = docs[pos_c] == cand
+                exact[hit] += qtf * scores[pos_c[hit]]
+            if top_docs is None:
+                top_docs, top_scores = cand, exact
+            else:
+                top_docs = np.concatenate([top_docs, cand])
+                top_scores = np.concatenate([top_scores, exact])
+            # keep only current top-k (score desc, doc asc)
+            sort_idx = np.lexsort((top_docs, -top_scores))[:k]
+            top_docs, top_scores = top_docs[sort_idx], top_scores[sort_idx]
+            if top_scores.size >= k:
+                theta = top_scores[-1]
+        return pd.DataFrame(
+            {
+                "query_id": query_id,
+                "doc_id": top_docs.astype(np.int64),
+                "score": top_scores,
+            }
+        )
+
+    return qseg.groupBy("query_id", "shard").applyInPandas(
+        score_group, schema="query_id string, doc_id long, score double"
+    )
+
+
+def wand_topk(
+    qterms: DataFrame,
+    segments: DataFrame,
+    k: int,
+    block_size: int,
+) -> DataFrame:
+    """qterms: (query_id, term, qtf) — idf already lives in the stored
+    per-posting scores. segments: the segment table.
+    -> (query_id, rank, doc_id, score) global top-k."""
+    qseg = segments.join(F.broadcast(qterms), "term", "inner").select(
+        "query_id",
+        "shard",
+        "term",
+        "qtf",
+        "doc_deltas",
+        "scores",
+        "block_max",
+    )
+    partial = wand_topk_per_shard(qseg, k, block_size)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,113 @@
+"""Segment format + WAND tests (SURVEY.md §5.2 layer 2: varbyte
+round-trip, block-max invariants, WAND == exhaustive, kill-and-resume)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from flame_spark.config import FlameConfig
+from flame_spark.corpus import add_doc_id
+from flame_spark.data import reference_queries, transcripts_df
+from flame_spark.pipeline import (
+    bm25_topk,
+    build_index,
+    build_segment_table,
+    wand_bm25_topk,
+)
+from flame_spark.segments import varbyte_decode, varbyte_encode
+
+
+@given(st.lists(st.integers(0, 2**61 - 1), min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(xs):
+    enc = varbyte_encode(np.array(xs, dtype=np.uint64))
+    assert varbyte_decode(enc).tolist() == xs
+
+
+def test_varbyte_known_values():
+    assert varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varbyte_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+CFG = FlameConfig(
+    ngram=3, n_out=1, min_text_length=80, tokenizer="bpe", vocab_size=400,
+    term_mode="lno", n_shards=5, block_size=4,  # tiny blocks to force pruning paths
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    tdf = add_doc_id(transcripts_df(spark, 8, 7), ["conv_id", "turn_idx"])
+    index = build_index(tdf.select("doc_id", "text"), CFG)
+    segments = build_segment_table(index).persist()
+    return index, segments
+
+
+def test_block_max_invariant(built):
+    from flame_spark.segments import decode_segment_row
+
+    index, segments = built
+    for row in segments.limit(200).collect():
+        docs, tfs, scores = decode_segment_row(row)
+        assert docs.size == row["n_docs"] == tfs.size == scores.size
+        assert docs[0] == row["first_doc"] and docs[-1] == row["last_doc"]
+        assert np.all(np.diff(docs) > 0)  # strictly increasing doc ids
+        bs = CFG.block_size
+        for i, bm in enumerate(row["block_max"]):
+            blk = scores[i * bs : (i + 1) * bs]
+            assert bm == blk.max()  # block max >= every member, attained
+
+
+def test_wand_equals_exhaustive(spark, built):
+    index, segments = built
+    queries = reference_queries(k=10)
+    exact = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in bm25_topk(spark, queries, index, k=10).collect()
+    }
+    wand = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in wand_bm25_topk(spark, queries, index, segments, k=10).collect()
+    }
+    assert wand == exact  # same docs, same ranks, bit-identical scores
+
+
+def test_kill_and_resume_identical(spark, built, tmp_path):
+    from flame_spark.lineage import SegmentWarehouse, snapshot_id
+    from flame_spark.segments import postings_with_scores
+
+    index, segments = built
+    scored = postings_with_scores(
+        index.postings_dl, index.stats_df, index.stats, CFG.bm25_k1, CFG.bm25_b
+    ).persist()
+    snap = snapshot_id(index.postings, ["term", "doc_id", "tf"])
+
+    # run A: straight-through build
+    wh_a = SegmentWarehouse(str(tmp_path / "a"))
+    wh_a.build_checkpointed(scored, index.stats.n_docs, CFG.n_shards, CFG.block_size, snap)
+
+    # run B: killed after 2 shards, then resumed
+    wh_b = SegmentWarehouse(str(tmp_path / "b"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        wh_b.build_checkpointed(
+            scored, index.stats.n_docs, CFG.n_shards, CFG.block_size, snap,
+            fail_after_shards=2,
+        )
+    done_before = wh_b.completed_shards(spark, snap)
+    assert len(done_before) == 2
+    wh_b.build_checkpointed(scored, index.stats.n_docs, CFG.n_shards, CFG.block_size, snap)
+
+    def table_key(wh):
+        rows = wh.read_segments(spark).collect()
+        return sorted(
+            (r["shard"], r["term"], r["n_docs"], bytes(r["doc_deltas"]),
+             bytes(r["tfs"]), bytes(r["scores"]), tuple(r["block_max"]))
+            for r in rows
+        )
+
+    assert table_key(wh_a) == table_key(wh_b)
+    # resume skipped the completed shards (lineage rows not duplicated)
+    lineage = spark.read.parquet(wh_b.lineage_path).collect()
+    assert len(lineage) == CFG.n_shards
