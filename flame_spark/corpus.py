@@ -114,6 +114,21 @@ def make_stage1_udf(bigram_rules: dict[str, str] | None):
     return stage1
 
 
+def make_canon_stage1_udf(bigram_rules: dict[str, str] | None):
+    """Fused S2 + P1-P3 (one Arrow round trip): whitespace canon AND
+    stage1 normalize, returned as a struct so the min-length filter can
+    run on the canonical text while stage1 is already computed."""
+    rules = dict(bigram_rules) if bigram_rules else None
+
+    @F.pandas_udf("text string, stage1 string")
+    def canon_stage1(s: pd.Series) -> pd.DataFrame:
+        canon = s.map(lambda t: canonicalize_whitespace(t or ""))
+        st1 = canon.map(lambda t: stage1_normalize(t, rules))
+        return pd.DataFrame({"text": canon, "stage1": st1})
+
+    return canon_stage1
+
+
 def make_lut_udf(lut_bc):
     @F.pandas_udf(T.StringType())
     def lut_apply(s: pd.Series) -> pd.Series:
@@ -136,21 +151,80 @@ def make_bpe_tokenize_udf(model_bc):
 
 
 def make_shingle_udf(encoder_bc, ngram: int, n_out: int):
+    """Batch-vectorized LNO shingle: the whole Arrow batch is flattened
+    to one token array, encoded with ONE searchsorted against the
+    sorted vocab (unknowns dropped, flame.py:686-687), and hashed with
+    ONE set of vectorized Mersenne-61 passes per keep-combination —
+    cross-document windows masked out. No per-row Python loop.
+
+    Feature ORDER within a row differs from the reference's combo-major
+    concat (here: window-major per combo block across the batch, then
+    re-split per doc). Only the multiset per doc is observable (TF
+    counts, flame.py:778), so postings/scores are unaffected.
+    """
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def shingle(tokens: pd.Series) -> pd.Series:
+        from itertools import combinations
+
+        from .hashing import mulmod61, powmod61, _reduce61
+
         encoder: dict[str, int] = encoder_bc.value
         V = len(encoder)
+        keep = ngram - n_out
+        n_rows = len(tokens)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
+        if V == 0 or keep < 1:
+            return pd.Series([[] for _ in range(n_rows)])
 
-        def _one(toks) -> list[int]:
-            if toks is None:
-                return []
-            # unknown tokens are dropped, not erred (flame.py:686-687)
-            ids = np.array(
-                [encoder[t] for t in toks if t in encoder], dtype=np.int64
-            )
-            return lno_gram_hashes(ids, V, ngram, n_out).tolist()
+        vocab_arr = np.array(sorted(encoder), dtype=object)
+        vocab_ids = np.array([encoder[t] for t in vocab_arr], dtype=np.int64)
 
-        return tokens.map(_one)
+        tok_lists = tokens.to_numpy()
+        lens = np.fromiter(
+            (0 if t is None else len(t) for t in tok_lists), dtype=np.int64,
+            count=n_rows,
+        )
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in tok_lists if t is not None and len(t)]
+        ) if lens.sum() else np.array([], dtype=object)
+
+        # encode: one searchsorted; drop unknowns
+        pos = np.searchsorted(vocab_arr, flat)
+        pos_c = np.clip(pos, 0, vocab_arr.size - 1)
+        known = vocab_arr[pos_c] == flat
+        doc_of_tok = np.repeat(np.arange(n_rows), lens)[known]
+        ids = vocab_ids[pos_c[known]]
+
+        # per-doc known-token counts -> window validity mask
+        klens = np.bincount(doc_of_tok, minlength=n_rows)
+        n_tok = ids.size
+        out_lists: list[list[int]] = [[] for _ in range(n_rows)]
+        if n_tok >= ngram:
+            win = np.lib.stride_tricks.sliding_window_view(ids, ngram)
+            win_doc = doc_of_tok[: n_tok - ngram + 1]
+            valid = win_doc == doc_of_tok[ngram - 1 :]
+            vwin = win[valid].astype(np.uint64)
+            vdoc = win_doc[valid]
+            if vdoc.size:
+                combo_hashes = []
+                for combo in combinations(range(ngram), keep):
+                    acc = np.zeros(vdoc.size, dtype=np.uint64)
+                    for p, c in enumerate(combo):
+                        power = np.uint64(powmod61(V, p))
+                        acc = _reduce61(acc + mulmod61(power, vwin[:, c]))
+                    combo_hashes.append(acc.astype(np.int64))
+                all_h = np.concatenate(combo_hashes)
+                all_d = np.tile(vdoc, len(combo_hashes))
+                order = np.argsort(all_d, kind="stable")
+                all_h = all_h[order]
+                counts = np.bincount(all_d, minlength=n_rows)
+                offsets = np.concatenate([[0], np.cumsum(counts)])
+                for r in range(n_rows):
+                    if counts[r]:
+                        out_lists[r] = all_h[offsets[r] : offsets[r + 1]].tolist()
+        return pd.Series(out_lists)
 
     return shingle
 
@@ -231,17 +305,19 @@ def prepare_docs(
     spark = df.sparkSession
     sc = spark.sparkContext
 
-    # S2/S3: whitespace canonicalization + min-length filter (+ first-k)
-    ws = make_ws_canon_udf()
-    docs = df.select("doc_id", ws(F.col("text")).alias("text"))
+    # S2/S3 + P1-P3 fused: one Arrow pass computes the whitespace-
+    # canonical text and the stage1-normalized text together; the
+    # min-length filter applies to the canonical text (flame.py:408).
+    art0 = default_artifacts(cfg.bigram_enabled, cfg.phonetic_enabled, cfg.alphabet)
+    canon_stage1 = make_canon_stage1_udf(
+        art0.bigram_rules if cfg.bigram_enabled else None
+    )
+    docs = df.select("doc_id", canon_stage1(F.col("text")).alias("cs")).select(
+        "doc_id", F.col("cs.text").alias("text"), F.col("cs.stage1").alias("stage1")
+    )
     docs = docs.filter(F.length("text") >= cfg.min_text_length)
     if cfg.keep_texts is not None:
         docs = docs.filter(F.col("doc_id") < cfg.keep_texts)
-
-    # P1-P3: lowercase + MUFI 1-to-many + optional bigram rules
-    art0 = default_artifacts(cfg.bigram_enabled, cfg.phonetic_enabled, cfg.alphabet)
-    stage1 = make_stage1_udf(art0.bigram_rules if cfg.bigram_enabled else None)
-    docs = docs.withColumn("stage1", stage1(F.col("text")))
     docs = docs.persist()
 
     # P6: adaptive rule learning over the distributed lost-char histogram

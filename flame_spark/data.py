@@ -72,77 +72,106 @@ def _perturb(words: list[str], rng: np.random.Generator) -> list[str]:
     return out
 
 
-def generate_transcripts(
-    n_conversations: int = 20,
-    avg_turns: int = 10,
-    seed: int = 42,
-    near_dup_fraction: float = 0.15,
-) -> list[dict]:
-    """Rows: conv_id, turn_idx, role, text, tool, ts (epoch micros)."""
-    rng = np.random.default_rng(seed)
+_BASE_TS = 1_700_000_000_000_000  # fixed epoch micros
+
+
+def _conversation_rows(c: int, avg_turns: int, seed: int) -> list[dict]:
+    """All turns of conversation ``c``. Seeded PER CONVERSATION, so the
+    corpus is identical whether generated on the driver or distributed
+    across any number of partitions (the scaling-bench requirement)."""
+    rng = np.random.default_rng(seed * 1_000_003 + c)
     roles = ["user", "assistant", "tool"]
+    conv_id = f"conv{c:06d}"
+    n_turns = int(rng.integers(max(2, avg_turns - 4), avg_turns + 5))
     rows: list[dict] = []
-    dup_pool: list[str] = []
-    base_ts = 1_700_000_000_000_000  # fixed epoch micros
-    for c in range(n_conversations):
-        conv_id = f"conv{c:06d}"
-        n_turns = int(rng.integers(max(2, avg_turns - 4), avg_turns + 5))
-        for t in range(n_turns):
-            role = roles[t % 3]
-            r = rng.random()
-            if dup_pool and r < near_dup_fraction:
-                # near-duplicate of an earlier turn (cross-conversation)
-                src = dup_pool[int(rng.integers(0, len(dup_pool)))]
-                words = _perturb(src.split(), rng)
-                text = " ".join(words)
-            else:
-                n_formulae = int(rng.integers(1, 4))
-                parts = []
-                for _ in range(n_formulae):
-                    f = _FORMULAE[int(rng.integers(0, len(_FORMULAE)))]
-                    parts.append(f)
-                    n_fill = int(rng.integers(2, 12))
-                    parts.append(
-                        " ".join(
-                            _FILLER_WORDS[int(rng.integers(0, len(_FILLER_WORDS)))]
-                            for _ in range(n_fill)
-                        )
-                    )
-                text = " ".join(parts)
-                if rng.random() < 0.3:
-                    words = _perturb(text.split(), rng)
-                    text = " ".join(words)
-                if rng.random() < 0.6:
-                    dup_pool.append(text)
-            if rng.random() < 0.08:
-                text = text[:100]  # short text -> min-length filter fodder
-            if rng.random() < 0.04:
-                text = " ".join(text.split()[:3])  # shorter than ngram window
-            # irregular whitespace to exercise canonicalization
-            if rng.random() < 0.2:
-                text = "  " + text.replace(" ", "   ", 3) + " \t "
-            rows.append(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": t,
-                    "role": role,
-                    "text": text,
-                    "tool": "search" if role == "tool" else None,
-                    "ts": base_ts + len(rows) * 61_000_000,
-                }
+    for t in range(n_turns):
+        role = roles[t % 3]
+        r = rng.random()
+        n_formulae = int(rng.integers(1, 4))
+        if r < 0.2:
+            # near-duplicate cluster: canonical formula-only text chosen
+            # from a small id space shared by ALL conversations, lightly
+            # perturbed -> cross-conversation near-dup pairs
+            fi = int(rng.integers(0, len(_FORMULAE)))
+            canonical = " ".join(
+                [_FORMULAE[fi], _FORMULAE[(fi + 3) % len(_FORMULAE)],
+                 _FORMULAE[(fi + 7) % len(_FORMULAE)]]
             )
+            text = " ".join(_perturb(canonical.split(), rng))
+        else:
+            parts = []
+            for _ in range(n_formulae):
+                f = _FORMULAE[int(rng.integers(0, len(_FORMULAE)))]
+                parts.append(f)
+                n_fill = int(rng.integers(2, 12))
+                parts.append(
+                    " ".join(
+                        _FILLER_WORDS[int(rng.integers(0, len(_FILLER_WORDS)))]
+                        for _ in range(n_fill)
+                    )
+                )
+            text = " ".join(parts)
+            if rng.random() < 0.3:
+                text = " ".join(_perturb(text.split(), rng))
+        if rng.random() < 0.08:
+            text = text[:100]  # short text -> min-length filter fodder
+        if rng.random() < 0.04:
+            text = " ".join(text.split()[:3])  # shorter than ngram window
+        # irregular whitespace to exercise canonicalization
+        if rng.random() < 0.2:
+            text = "  " + text.replace(" ", "   ", 3) + " \t "
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": text,
+                "tool": "search" if role == "tool" else None,
+                "ts": _BASE_TS + c * 1_000_000_000 + t * 61_000_000,
+            }
+        )
     return rows
 
 
-def transcripts_df(spark, n_conversations: int = 20, avg_turns: int = 10, seed: int = 42):
-    rows = generate_transcripts(n_conversations, avg_turns, seed)
+def generate_transcripts(
+    n_conversations: int = 20, avg_turns: int = 10, seed: int = 42
+) -> list[dict]:
+    """Driver-side reference generator (the oracle's input)."""
+    rows: list[dict] = []
+    for c in range(n_conversations):
+        rows.extend(_conversation_rows(c, avg_turns, seed))
+    return rows
+
+
+_TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def transcripts_df(
+    spark, n_conversations: int = 20, avg_turns: int = 10, seed: int = 42
+):
+    """Distributed generation: one task per conv-id range, identical rows
+    to ``generate_transcripts`` at any parallelism (per-conv seeding)."""
     import pandas as pd
 
-    pdf = pd.DataFrame(rows)
-    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us", utc=True).dt.tz_localize(None)
-    return spark.createDataFrame(
-        pdf,
-        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    def gen(it):
+        for pdf in it:
+            out: list[dict] = []
+            for c in pdf["id"]:
+                out.extend(_conversation_rows(int(c), avg_turns, seed))
+            o = pd.DataFrame(
+                out,
+                columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            )
+            o["ts"] = pd.to_datetime(o["ts"], unit="us")
+            yield o
+
+    n_parts = max(1, min(n_conversations, int(spark.sparkContext.defaultParallelism)))
+    return (
+        spark.range(n_conversations, numPartitions=n_parts)
+        .mapInPandas(gen, schema=_TRANSCRIPT_SCHEMA)
     )
 
 

@@ -61,6 +61,13 @@ def build_index(raw_docs: DataFrame, cfg: FlameConfig) -> FlameIndex:
     aggregates. All intermediates cached because both query paths and
     the pairwise path reuse them.
     """
+    # make sure the scan-side UDF stages have enough partitions to use
+    # every core (input may arrive as a handful of files/partitions)
+    spark = raw_docs.sparkSession
+    target_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if raw_docs.rdd.getNumPartitions() < target_parts:
+        raw_docs = raw_docs.repartition(target_parts)
+
     docs, artifacts = prepare_docs(raw_docs, cfg)
     term_col = "features" if cfg.term_mode == "lno" else "tokens"
     if cfg.term_mode == "lno":

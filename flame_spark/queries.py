@@ -1,0 +1,938 @@
+"""Driver-facing query registry: Spark implementations + DuckDB oracle SQL.
+
+Each entry implements one operator family from SURVEY.md §2 (or a
+training-data pipeline operator) over the testdata tables, with an
+ANSI-SQL twin the driver runs in DuckDB. Contracts that keep the two
+sides hash-identical:
+
+- normalization = lower + trim + collapse ASCII whitespace (JVM regex
+  on the Spark side, RE2 on DuckDB's — both ASCII ``\\s``);
+- tokens = split on ``[^a-z0-9]+``, drop empties;
+- every aggregate/computed column is aliased identically;
+- integer outputs cast to BIGINT on both sides; doubles rounded to 6
+  decimals AFTER all arithmetic (covers summation-order ulps);
+- deterministic orders/tie-breaks everywhere a LIMIT or rank exists.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .constants import MOD, MUFI_CHAR_MAPPINGS, BM25_K1, BM25_B
+from .textops import (
+    ENGLISH_STOPWORDS,
+    LATIN_STOPWORDS,
+    MINHASH_A0,
+    MINHASH_A_STEP,
+    MINHASH_B0,
+    MINHASH_B_STEP,
+    MINHASH_P,
+    SIMHASH_BITS,
+    norm_text_col,
+    word_tokens_col,
+    word_ngrams_col,
+)
+
+# ---------------------------------------------------------------------------
+# shared fixed parameters (embedded in both Spark code and oracle SQL)
+# ---------------------------------------------------------------------------
+
+BM25_QUERIES = [
+    ("q0", "table scan merge join"),
+    ("q1", "window filter stream batch sort"),
+    ("q2", "vector"),
+    ("q3", "zzzmissing vector hash"),
+]
+BM25_K = 10
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.12
+MINHASH_NUM = 16
+MINHASH_BAND_ROWS = 4
+ANN_QUERY_IDS = [0, 1, 2]
+ANN_K = 5
+PHONETIC_SRC = "bcdgjqvyz"
+PHONETIC_DST = "pktkikfis"
+PHONETIC_ALPHABET = "aefiklmnopqrstuwxz"
+
+
+def _qtoks(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = (
+    f"list_filter(string_split_regex({_NORM_SQL}, '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# S2/P1: whitespace canonicalization + lowercase
+# ---------------------------------------------------------------------------
+
+
+def q_s2_normalize(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", norm_text_col(F.col("text")).alias("norm_text")
+    )
+
+
+SQL_S2_NORMALIZE = f"SELECT doc_id, {_NORM_SQL} AS norm_text FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# P2/P4: MUFI fold (1-to-many replaces in dict order, then 1-to-1)
+# ---------------------------------------------------------------------------
+
+
+def q_p2_mufi_fold(spark, sf_dir):
+    col = norm_text_col(F.col("text"))
+    for src, dst in MUFI_CHAR_MAPPINGS.items():
+        col = F.replace(col, F.lit(src), F.lit(dst))
+    return _docs(spark, sf_dir).select("doc_id", col.alias("folded"))
+
+
+def _sql_mufi():
+    expr = _NORM_SQL
+    for src, dst in MUFI_CHAR_MAPPINGS.items():
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    return f"SELECT doc_id, {expr} AS folded FROM documents"
+
+
+SQL_P2_MUFI_FOLD = _sql_mufi()
+
+
+# ---------------------------------------------------------------------------
+# P7: phonetic reduction (rule map + alphabet projection to spaces)
+# ---------------------------------------------------------------------------
+
+
+def q_p7_phonetic(spark, sf_dir):
+    col = F.translate(norm_text_col(F.col("text")), PHONETIC_SRC, PHONETIC_DST)
+    col = F.regexp_replace(col, f"[^{PHONETIC_ALPHABET} ]", " ")
+    return _docs(spark, sf_dir).select("doc_id", col.alias("phonetic"))
+
+
+SQL_P7_PHONETIC = (
+    "SELECT doc_id, regexp_replace(translate("
+    f"{_NORM_SQL}, '{PHONETIC_SRC}', '{PHONETIC_DST}'), "
+    f"'[^{PHONETIC_ALPHABET} ]', ' ', 'g') AS phonetic FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# A4/T1: word frequency histogram
+# ---------------------------------------------------------------------------
+
+
+def q_word_counts(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(word_tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_WORD_COUNTS = (
+    f"SELECT word, count(*)::BIGINT AS cnt FROM "
+    f"(SELECT unnest({_TOKS_SQL}) AS word FROM documents) GROUP BY word"
+)
+
+
+# ---------------------------------------------------------------------------
+# A1: per-doc term frequency (word tokens)
+# ---------------------------------------------------------------------------
+
+
+def q_a1_tf(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(word_tokens_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+SQL_A1_TF = (
+    f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM "
+    f"(SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents) "
+    f"GROUP BY doc_id, term"
+)
+
+
+# ---------------------------------------------------------------------------
+# A3: term stats (df, cf)
+# ---------------------------------------------------------------------------
+
+
+def q_a3_term_stats(spark, sf_dir):
+    tf = q_a1_tf(spark, sf_dir)
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+SQL_A3_TERM_STATS = (
+    f"WITH tf AS ({SQL_A1_TF}) "
+    "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "
+    "FROM tf GROUP BY term"
+)
+
+
+# ---------------------------------------------------------------------------
+# O4/A2: vocabulary encoder (sorted distinct tokens -> dense ids)
+# ---------------------------------------------------------------------------
+
+
+def q_o4_vocab(spark, sf_dir):
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(word_tokens_col(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    return toks.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+SQL_O4_VOCAB = (
+    f"SELECT token, (row_number() OVER (ORDER BY token) - 1)::BIGINT AS token_id "
+    f"FROM (SELECT DISTINCT unnest({_TOKS_SQL}) AS token FROM documents)"
+)
+
+
+# ---------------------------------------------------------------------------
+# T5 (word form): 3-gram shingles with tf
+# ---------------------------------------------------------------------------
+
+
+def q_t5_shingles(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                word_ngrams_col(word_tokens_col(F.col("text")), SHINGLE_N)
+            ).alias("shingle"),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+SQL_T5_SHINGLES = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, tk[s] || ' ' || tk[s+1] || ' ' || tk[s+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - {SHINGLE_N - 1})) AS u(s)
+  WHERE len(tk) >= {SHINGLE_N}
+)
+SELECT doc_id, shingle, count(*)::BIGINT AS tf FROM sh GROUP BY doc_id, shingle
+"""
+
+
+# ---------------------------------------------------------------------------
+# T5 (the defining operator): LNO-gram hash postings, n=3, n_out=1
+# hash = t[c0] + V*t[c1] mod 2^61-1 for combos (0,1),(0,2),(1,2)
+# ---------------------------------------------------------------------------
+
+
+def q_lno31_postings(spark, sf_dir):
+    from .corpus import make_shingle_udf
+    from .postings import build_postings
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "tokens", word_tokens_col(F.col("text"))
+    )
+    vocab = sorted(
+        r["tok"]
+        for r in docs.select(F.explode("tokens").alias("tok")).distinct().collect()
+    )
+    encoder = {t: i for i, t in enumerate(vocab)}
+    enc_bc = spark.sparkContext.broadcast(encoder)
+    shingle = make_shingle_udf(enc_bc, 3, 1)
+    feats = docs.withColumn("features", shingle(F.col("tokens")))
+    return build_postings(feats, "features").select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
+SQL_LNO31_POSTINGS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tok_rows AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos FROM toks
+),
+vocab AS (
+  SELECT tok, (row_number() OVER (ORDER BY tok) - 1) AS tid
+  FROM (SELECT DISTINCT tok FROM tok_rows)
+),
+vc AS (SELECT count(*)::HUGEINT AS v FROM vocab),
+ids AS (SELECT r.doc_id, r.pos, vocab.tid FROM tok_rows r JOIN vocab USING (tok)),
+lens AS (SELECT doc_id, max(pos) AS n FROM ids GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, unnest(generate_series(1, n - 2)) AS s FROM lens WHERE n >= 3
+),
+trip AS (
+  SELECT st.doc_id, a.tid::HUGEINT AS t0, b.tid::HUGEINT AS t1, c.tid::HUGEINT AS t2
+  FROM starts st
+  JOIN ids a ON a.doc_id = st.doc_id AND a.pos = st.s
+  JOIN ids b ON b.doc_id = st.doc_id AND b.pos = st.s + 1
+  JOIN ids c ON c.doc_id = st.doc_id AND c.pos = st.s + 2
+),
+feats AS (
+  SELECT doc_id, ((t0 + (SELECT v FROM vc) * t1) % {MOD})::BIGINT AS term FROM trip
+  UNION ALL
+  SELECT doc_id, ((t0 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM trip
+  UNION ALL
+  SELECT doc_id, ((t1 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM trip
+)
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM feats GROUP BY doc_id, term
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6/O7: BM25 top-k over word tokens (fixed query set)
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_topk(spark, sf_dir):
+    from .bm25 import score_bm25, topk
+    from .postings import corpus_stats, doc_lengths, term_stats
+
+    docs = _docs(spark, sf_dir).withColumn("tokens", word_tokens_col(F.col("text")))
+    postings = (
+        docs.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dl = doc_lengths(docs, "tokens")
+    stats_df = term_stats(postings)
+    stats = corpus_stats(dl)
+    rows = []
+    for qid, qtext in BM25_QUERIES:
+        counts: dict[str, int] = {}
+        for t in _qtoks(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, c) for t, c in counts.items())
+    qterms = spark.createDataFrame(rows, "query_id string, term string, qtf int")
+    scored = score_bm25(qterms, postings.join(dl, "doc_id"), stats_df, stats, BM25_K1, BM25_B)
+    return topk(scored, BM25_K).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _sql_bm25():
+    vals = []
+    for qid, qtext in BM25_QUERIES:
+        counts: dict[str, int] = {}
+        for t in _qtoks(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        vals.extend(f"('{qid}', '{t}', {c})" for t, c in counts.items())
+    values = ",\n    ".join(vals)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term, qtf) AS (VALUES
+    {values}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         q.qtf * (ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25()
+
+
+# ---------------------------------------------------------------------------
+# J1: TF-IDF cosine pairs over 3-gram shingles (sklearn-default formula)
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    from .postings import term_stats
+    from .similarity import cosine_pairs, tfidf_normalized
+
+    sh_tf = q_t5_shingles(spark, sf_dir).withColumnRenamed("shingle", "term")
+    n_docs = _docs(spark, sf_dir).count()
+    stats_df = term_stats(sh_tf.select("term", "doc_id", "tf"))
+    weights = tfidf_normalized(
+        sh_tf.select("term", "doc_id", F.col("tf").cast("int").alias("tf")),
+        stats_df,
+        n_docs,
+    )
+    return cosine_pairs(weights).select(
+        "doc_i", "doc_j", F.round("score", 6).alias("score")
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = f"""
+WITH tf AS ({SQL_T5_SHINGLES}),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+df AS (SELECT shingle, count(*)::DOUBLE AS df FROM tf GROUP BY shingle),
+w AS (
+  SELECT tf.doc_id, tf.shingle,
+         tf.tf::DOUBLE * (ln((1.0 + nd.n) / (1.0 + df.df)) + 1.0) AS w
+  FROM tf JOIN df USING (shingle) CROSS JOIN nd
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+wn AS (
+  SELECT w.doc_id, w.shingle, w.w / nrm.nrm AS wn
+  FROM w JOIN nrm USING (doc_id)
+),
+prods AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.wn * b.wn AS p
+  FROM wn a JOIN wn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT doc_i, doc_j, round(sum(p), 6) AS score FROM prods GROUP BY doc_i, doc_j
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1: pair ranking (sort by score desc, deterministic tie-break, limit)
+# ---------------------------------------------------------------------------
+
+
+def q_top_pairs(spark, sf_dir):
+    return (
+        q_tfidf_cosine_pairs(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_i"), F.asc("doc_j"))
+        .limit(100)
+    )
+
+
+SQL_TOP_PAIRS = (
+    f"WITH pairs AS ({SQL_TFIDF_COSINE_PAIRS}) "
+    "SELECT * FROM pairs ORDER BY score DESC, doc_i ASC, doc_j ASC LIMIT 100"
+)
+
+
+# ---------------------------------------------------------------------------
+# A9: percentile threshold over pair scores
+# ---------------------------------------------------------------------------
+
+
+def q_percentile99(spark, sf_dir):
+    pairs = q_tfidf_cosine_pairs(spark, sf_dir)
+    return pairs.agg(
+        F.round(F.expr("percentile(score, 0.99)"), 6).alias("p99")
+    )
+
+
+SQL_PERCENTILE99 = (
+    f"WITH pairs AS ({SQL_TFIDF_COSINE_PAIRS}) "
+    "SELECT round(quantile_cont(score, 0.99), 6) AS p99 FROM pairs"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact hash groups
+# ---------------------------------------------------------------------------
+
+
+def q_exact_hash_groups(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(F.md5(norm_text_col(F.col("text"))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+SQL_EXACT_HASH_GROUPS = (
+    f"SELECT md5({_NORM_SQL}) AS text_hash, count(*)::BIGINT AS n_docs, "
+    "min(doc_id) AS keeper_doc_id FROM documents GROUP BY 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from .textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    ).select(
+        "doc_i",
+        "doc_j",
+        F.col("inter").cast("long").alias("inter"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH tf AS ({SQL_T5_SHINGLES}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM tf),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_i, doc_j, inter,
+       round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_i
+JOIN sz sb ON sb.doc_id = doc_j
+WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from .textops import minhash_signatures
+
+    return minhash_signatures(
+        _docs(spark, sf_dir), n=SHINGLE_N, num_hashes=MINHASH_NUM
+    ).select("doc_id", F.col("i").cast("long").alias("i"), "minhash")
+
+
+SQL_MINHASH_SIGS = f"""
+WITH tf AS ({SQL_T5_SHINGLES}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM tf),
+x AS (
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS x FROM sh
+),
+h AS (
+  SELECT doc_id, i,
+         (({MINHASH_A0} + {MINHASH_A_STEP} * i) * x
+          + ({MINHASH_B0} + {MINHASH_B_STEP} * i)) % {MINHASH_P} AS h
+  FROM x, UNNEST(generate_series(0, {MINHASH_NUM - 1})) AS u(i)
+)
+SELECT doc_id, i::BIGINT AS i, min(h)::BIGINT AS minhash FROM h GROUP BY doc_id, i
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from .textops import minhash_lsh_candidates, minhash_signatures
+
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), n=SHINGLE_N, num_hashes=MINHASH_NUM
+    )
+    return minhash_lsh_candidates(sigs, band_rows=MINHASH_BAND_ROWS)
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH sigs AS ({SQL_MINHASH_SIGS}),
+banded AS (
+  SELECT doc_id, (i / {MINHASH_BAND_ROWS})::INT AS band,
+         string_agg(minhash::VARCHAR, '-' ORDER BY i) AS band_key
+  FROM sigs GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash
+# ---------------------------------------------------------------------------
+
+
+def q_simhash(spark, sf_dir):
+    from .textops import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+SQL_SIMHASH = f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+h AS (
+  SELECT doc_id, tf, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tf
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS u(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language id, quality, token counts, fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_langid(spark, sf_dir):
+    from .textops import language_id
+
+    out = language_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("en_ratio", 6).alias("en_ratio"),
+        F.round("la_ratio", 6).alias("la_ratio"),
+        "pred_lang",
+    )
+
+
+def _inlist(words):
+    return ", ".join(f"'{w}'" for w in words)
+
+
+SQL_LANGID = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+sc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         (sum(CASE WHEN tok IN ({_inlist(ENGLISH_STOPWORDS)}) THEN 1 ELSE 0 END)
+          / count(*)::DOUBLE) AS en_ratio,
+         (sum(CASE WHEN tok IN ({_inlist(LATIN_STOPWORDS)}) THEN 1 ELSE 0 END)
+          / count(*)::DOUBLE) AS la_ratio
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(en_ratio, 6) AS en_ratio,
+       round(la_ratio, 6) AS la_ratio,
+       CASE WHEN en_ratio < 0.05 AND la_ratio < 0.05 THEN 'unknown'
+            WHEN en_ratio >= la_ratio THEN 'en' ELSE 'la' END AS pred_lang
+FROM sc
+"""
+
+
+def q_quality(spark, sf_dir):
+    from .textops import quality_scores
+
+    out = quality_scores(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "punct_ratio",
+        "mean_word_len",
+        "quality",
+    )
+
+
+SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKS_SQL} AS tk FROM documents
+),
+m AS (
+  SELECT doc_id,
+         length(norm)::BIGINT AS n_chars_norm,
+         len(tk)::BIGINT AS n_tokens,
+         CASE WHEN len(tk) > 0 THEN
+           len(list_filter(tk, x -> x IN ({_inlist(ENGLISH_STOPWORDS)})))
+             / len(tk)::DOUBLE ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(norm) > 0 THEN
+           (length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')))
+             / length(norm)::DOUBLE ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(tk) > 0 THEN
+           list_sum(list_transform(tk, x -> length(x)))
+             / len(tk)::DOUBLE ELSE 0.0 END AS mean_word_len
+  FROM base
+)
+SELECT doc_id, n_chars_norm, n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + least(stop_ratio * 4.0, 1.0) * 0.3
+             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6) AS quality
+FROM m
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    from .textops import token_counts
+
+    out = token_counts(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpeish_tokens").cast("long").alias("bpeish_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len(list_filter(string_split({_NORM_SQL}, ' '), x -> x <> ''))::BIGINT
+         AS ws_tokens,
+       len(regexp_extract_all({_NORM_SQL}, '[a-z0-9_]+|[^a-z0-9_\\s]+'))::BIGINT
+         AS bpeish_tokens
+FROM documents
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    from .textops import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINTS = f"""
+WITH base AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+SELECT doc_id,
+  CASE WHEN length(norm) = 0 THEN 0 ELSE
+    (list_reduce(
+       list_prepend(0::HUGEINT,
+         list_transform(list_reverse(string_split(norm, '')),
+                        c -> unicode(c)::HUGEINT)),
+       (acc, c) -> (acc * 1000003 + c) % {MOD}))::BIGINT
+  END AS fingerprint
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    from .embedops import cosine_topk_bruteforce, load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    out = cosine_topk_bruteforce(emb, ANN_QUERY_IDS, k=ANN_K)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
+SQL_ANN_BRUTEFORCE = f"""
+WITH e AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})),
+flat AS (
+  SELECT q.query_id, e.vec_id, unnest(q.qv) AS qe, unnest(e.v) AS ve
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+),
+cos AS (
+  SELECT query_id, vec_id,
+         sum(qe * ve) / (sqrt(sum(qe * qe)) * sqrt(sum(ve * ve))) AS cosine
+  FROM flat GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+           AS rank
+  FROM cos
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: 5-minute tumbling-window aggregation (batch form of the
+# streaming windowed agg; see streaming.py for the readStream variant)
+# ---------------------------------------------------------------------------
+
+
+def q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn(
+            "w_start", (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+        )
+        .groupBy("w_start", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS w_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks): full engine paths
+# ---------------------------------------------------------------------------
+
+
+def q_otsu_threshold(spark, sf_dir):
+    """Otsu auto-threshold over the pair-score multiset (A8). skimage's
+    histogram algorithm — not expressible in ANSI SQL; rows-only check +
+    oracle-differential pytest coverage."""
+    from .similarity import otsu_threshold_distributed, similarity_score_multiset
+
+    pairs = q_tfidf_cosine_pairs(spark, sf_dir)
+    n_docs_feat = (
+        _docs(spark, sf_dir)
+        .select(F.size(word_tokens_col(F.col("text"))).alias("n"))
+        .filter(F.col("n") >= SHINGLE_N)
+        .count()
+    )
+    scores = similarity_score_multiset(
+        pairs.select(F.col("score")), n_docs_feat
+    )
+    t = otsu_threshold_distributed(scores)
+    return spark.createDataFrame([(float(t),)], "otsu_threshold double")
+
+
+def q_wand_topk_lno(spark, sf_dir):
+    """Full engine path: LNO postings -> compressed segments -> block-max
+    WAND top-k. Equals the exhaustive scorer (pytest-verified); WAND
+    pruning is not SQL-expressible -> rows-only check."""
+    from .config import FlameConfig
+    from .pipeline import build_index, build_segment_table, wand_bm25_topk
+
+    cfg = FlameConfig(
+        ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+        term_mode="lno", n_shards=8,
+    )
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, cfg)
+    segments = build_segment_table(index)
+    queries = [
+        {"query_id": qid, "query_text": qtext} for qid, qtext in BM25_QUERIES
+    ]
+    return wand_bm25_topk(spark, queries, index, segments, k=BM25_K).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (recall-validated vs brute force in pytest);
+    seeded-hyperplane signatures are not SQL-expressible -> rows-only."""
+    from .embedops import cosine_topk_lsh, load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    out = cosine_topk_lsh(emb, ANN_QUERY_IDS, k=ANN_K)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE subword tokenization of documents (T2/T3) — the trained-model
+    path; BPE training is not SQL-expressible -> rows-only."""
+    from .bpe import train_bpe
+    from .corpus import make_bpe_tokenize_udf
+
+    docs = _docs(spark, sf_dir)
+    sample = [
+        r["t"]
+        for r in docs.select(norm_text_col(F.col("text")).alias("t"))
+        .orderBy("doc_id").limit(2000).collect()
+    ]
+    model = train_bpe(sample, 800)
+    bc = spark.sparkContext.broadcast(model)
+    tok = make_bpe_tokenize_udf(bc)
+    return docs.select(
+        "doc_id",
+        F.size(tok(norm_text_col(F.col("text")))).cast("long").alias("n_subwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "s2_normalize": q_s2_normalize,
+    "p2_mufi_fold": q_p2_mufi_fold,
+    "p7_phonetic": q_p7_phonetic,
+    "a4_word_counts": q_word_counts,
+    "a1_tf": q_a1_tf,
+    "a3_term_stats": q_a3_term_stats,
+    "o4_vocab": q_o4_vocab,
+    "t5_shingles3": q_t5_shingles,
+    "t5_lno31_postings": q_lno31_postings,
+    "j6_bm25_topk": q_bm25_topk,
+    "j1_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "o1_top_pairs": q_top_pairs,
+    "a9_percentile99": q_percentile99,
+    "dedup_exact_groups": q_exact_hash_groups,
+    "dedup_jaccard3_pairs": q_jaccard_pairs,
+    "dedup_minhash_sigs": q_minhash_sigs,
+    "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_simhash": q_simhash,
+    "text_langid": q_langid,
+    "text_quality": q_quality,
+    "text_token_counts": q_token_counts,
+    "text_fingerprints": q_fingerprints,
+    "ann_cosine_topk": q_ann_bruteforce,
+    "events_window5m": q_events_window,
+    # rows-only (non-SQL-expressible) engine paths
+    "a8_otsu_threshold": q_otsu_threshold,
+    "wand_topk_lno": q_wand_topk_lno,
+    "ann_lsh_topk": q_ann_lsh,
+    "t3_bpe_tokens": q_bpe_tokens,
+}
+
+ORACLE_SQL = {
+    "s2_normalize": SQL_S2_NORMALIZE,
+    "p2_mufi_fold": SQL_P2_MUFI_FOLD,
+    "p7_phonetic": SQL_P7_PHONETIC,
+    "a4_word_counts": SQL_WORD_COUNTS,
+    "a1_tf": SQL_A1_TF,
+    "a3_term_stats": SQL_A3_TERM_STATS,
+    "o4_vocab": SQL_O4_VOCAB,
+    "t5_shingles3": SQL_T5_SHINGLES,
+    "t5_lno31_postings": SQL_LNO31_POSTINGS,
+    "j6_bm25_topk": SQL_BM25_TOPK,
+    "j1_tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "o1_top_pairs": SQL_TOP_PAIRS,
+    "a9_percentile99": SQL_PERCENTILE99,
+    "dedup_exact_groups": SQL_EXACT_HASH_GROUPS,
+    "dedup_jaccard3_pairs": SQL_JACCARD_PAIRS,
+    "dedup_minhash_sigs": SQL_MINHASH_SIGS,
+    "dedup_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "dedup_simhash": SQL_SIMHASH,
+    "text_langid": SQL_LANGID,
+    "text_quality": SQL_QUALITY,
+    "text_token_counts": SQL_TOKEN_COUNTS,
+    "text_fingerprints": SQL_FINGERPRINTS,
+    "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
+    "events_window5m": SQL_EVENTS_WINDOW,
+}

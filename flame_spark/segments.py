@@ -41,12 +41,14 @@ SEGMENT_SCHEMA = (
 # ---------------------------------------------------------------------------
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """LEB128-style varbyte: 7 bits per byte, high bit = continuation.
-    Fully vectorized (no per-value Python loop)."""
+def varbyte_encode_with_ends(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized LEB128-style varbyte encode of the WHOLE array at once.
+
+    Returns (bytes, ends) where ends[i] is the byte offset just past
+    value i — callers slice per-group spans out of one encode pass."""
     vals = np.asarray(values, dtype=np.uint64)
     if vals.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes per value = ceil(bitlen/7), min 1
     nb = np.ones(vals.size, dtype=np.int64)
     v = vals >> np.uint64(7)
@@ -61,7 +63,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     offset = (pos - starts[value_idx]).astype(np.uint64)
     chunk = (vals[value_idx] >> (offset * np.uint64(7))) & np.uint64(0x7F)
     cont = (pos != ends[value_idx] - 1).astype(np.uint64) * np.uint64(0x80)
-    return (chunk | cont).astype(np.uint8).tobytes()
+    return (chunk | cont).astype(np.uint8).tobytes(), ends
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varbyte: 7 bits per byte, high bit = continuation."""
+    return varbyte_encode_with_ends(values)[0]
 
 
 def varbyte_decode(data: bytes) -> np.ndarray:
@@ -130,35 +137,61 @@ def build_segments(
         "shard", (F.col("doc_id") / F.lit(span)).cast("int")
     )
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
+    def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One call per SHARD (not per term!): sort by (term, doc_id),
+        varbyte-encode the whole shard in two vectorized passes, slice
+        per-term byte spans out, block-maxes via maximum.reduceat."""
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(["term", "doc_id"])
+        terms = pdf["term"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         scores = pdf["s"].to_numpy(np.float64)
+        uniq, starts = np.unique(terms, return_index=True)
+        ends = np.append(starts[1:], terms.size)
+        # delta-gap within each term group; group head keeps its doc id
         deltas = np.empty_like(docs)
-        deltas[0] = docs[0]
         deltas[1:] = np.diff(docs)
-        nblocks = -(-docs.size // block_size)
-        bmax = [
-            float(scores[i * block_size : (i + 1) * block_size].max())
-            for i in range(nblocks)
-        ]
+        deltas[starts] = docs[starts]
+        vb_docs, de = varbyte_encode_with_ends(deltas.astype(np.uint64))
+        vb_tfs, te = varbyte_encode_with_ends(tfs.astype(np.uint64))
+        # block boundaries for maximum.reduceat: starts of every block
+        # of block_size postings within each group
+        block_idx = np.concatenate(
+            [np.arange(s, e, block_size) for s, e in zip(starts, ends)]
+        )
+        all_bmax = np.maximum.reduceat(scores, block_idx)
+        nblocks = -(-(ends - starts) // block_size)
+        boffsets = np.concatenate([[0], np.cumsum(nblocks)])
+
+        rows = []
+        for g in range(uniq.size):
+            s, e = int(starts[g]), int(ends[g])
+            db0 = int(de[s - 1]) if s > 0 else 0
+            tb0 = int(te[s - 1]) if s > 0 else 0
+            rows.append(
+                (
+                    shard,
+                    int(uniq[g]),
+                    e - s,
+                    int(docs[s]),
+                    int(docs[e - 1]),
+                    vb_docs[db0 : int(de[e - 1])],
+                    vb_tfs[tb0 : int(te[e - 1])],
+                    scores[s:e].tobytes(),
+                    all_bmax[int(boffsets[g]) : int(boffsets[g + 1])].tolist(),
+                )
+            )
         return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])],
-                "term": [int(pdf["term"].iloc[0])],
-                "n_docs": [int(docs.size)],
-                "first_doc": [int(docs[0])],
-                "last_doc": [int(docs[-1])],
-                "doc_deltas": [varbyte_encode(deltas.astype(np.uint64))],
-                "tfs": [varbyte_encode(tfs.astype(np.uint64))],
-                "scores": [scores.tobytes()],
-                "block_max": [bmax],
-            }
+            rows,
+            columns=[
+                "shard", "term", "n_docs", "first_doc", "last_doc",
+                "doc_deltas", "tfs", "scores", "block_max",
+            ],
         )
 
-    return with_shard.groupBy("shard", "term").applyInPandas(
-        encode_group, schema=SEGMENT_SCHEMA
+    return with_shard.groupBy("shard").applyInPandas(
+        encode_shard, schema=SEGMENT_SCHEMA
     )
 
 

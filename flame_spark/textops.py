@@ -1,0 +1,314 @@
+"""Training-data pipeline text operators (deduplication + text analysis).
+
+These are the large-scale-corpus operations a 100 TB training-data
+pipeline needs on top of the FLAME index core: exact dedup, MinHash/LSH
+and SimHash near-dup, n-gram Jaccard, language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+Every operator here is expressed with JVM-side built-ins
+(``pyspark.sql.functions``) wherever possible so Catalyst can push
+down/prune/codegen; the only pandas UDF is the exact-arithmetic
+fingerprint. Each operator is deliberately DuckDB-SQL-expressible so
+the driver's oracle gate can verify it (see ``__spark_entry__.py``).
+
+Determinism contracts (shared with the SQL oracles):
+- base shingle hash = first 8 hex chars of md5 -> uint32-range int
+- MinHash permutation i: h_i(x) = (A_i * x + B_i) mod P with
+  P = 4294967311 (prime > 2^32), A_i = 1000003 + 7919*i,
+  B_i = 12345 + 104729*i  — products < 2^53: exact in int64 AND float64
+- SimHash uses the first 15 md5 hex chars (60 bits) per token
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+MINHASH_P = 4294967311  # prime > 2^32
+MINHASH_A0, MINHASH_A_STEP = 1000003, 7919
+MINHASH_B0, MINHASH_B_STEP = 12345, 104729
+SIMHASH_BITS = 60
+
+ENGLISH_STOPWORDS = [
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+    "with", "as", "was", "on", "be", "by", "this", "are", "or", "at",
+]
+LATIN_STOPWORDS = [
+    "et", "in", "de", "ad", "cum", "per", "quod", "est", "non", "ut",
+    "sit", "qui", "quam", "omnibus", "rei", "sancte", "amen", "domini",
+]
+
+
+def norm_text_col(col):
+    """lowercase + whitespace-collapsed text (flame.py:396 + :433)."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def word_tokens_col(col):
+    """lower-alnum word tokens; JVM-side split, matches the SQL oracle."""
+    return F.filter(F.split(norm_text_col(col), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def word_ngrams_col(tokens_col, n: int):
+    """Space-joined word n-grams from a token array (JVM-side transform)."""
+    idx = F.sequence(F.lit(0), F.size(tokens_col) - F.lit(n))
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.slice(tokens_col, i + 1, n)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on md5 of normalized text -> duplicate groups.
+    (hash-groupBy; one shuffle, map-side partial agg)."""
+    return (
+        docs.select(
+            F.md5(norm_text_col(F.col(text_col))).alias("text_hash"),
+            "doc_id",
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by Jaccard over DISTINCT word n-gram sets.
+
+    |A∩B| via a self-join on the shingle, |A|,|B| precomputed; Jaccard
+    = inter / (|A|+|B|-inter). Shuffles on shingle then on the pair."""
+    sh = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(word_ngrams_col(word_tokens_col(F.col(text_col)), n))
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_i"), F.col("sz").alias("sz_i"))
+    sb = sizes.select(F.col("doc_id").alias("doc_j"), F.col("sz").alias("sz_j"))
+    return (
+        inter.join(sa, "doc_i")
+        .join(sb, "doc_j")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_i") + F.col("sz_j") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_i", "doc_j", "inter", "jaccard")
+    )
+
+
+def shingle_base_hash_col(shingle_col):
+    """First 8 md5 hex chars -> int in [0, 2^32); same in DuckDB."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, i, minhash) — MinHash over word n-gram shingles.
+
+    The permutations are affine (A_i x + B_i) mod P with exact int64
+    arithmetic (products < 2^53). Computed JVM-side: explode shingles,
+    cross with the hash-index range, min per (doc, i)."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams_col(word_tokens_col(F.col(text_col)), n))
+        ).alias("shingle"),
+    ).withColumn("x", shingle_base_hash_col(F.col("shingle")))
+    hs = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
+    a = F.lit(MINHASH_A0) + F.lit(MINHASH_A_STEP) * F.col("i")
+    b = F.lit(MINHASH_B0) + F.lit(MINHASH_B_STEP) * F.col("i")
+    return (
+        sh.select("doc_id", "x", hs)
+        .withColumn("h", (a * F.col("x") + b) % F.lit(MINHASH_P))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, band_rows: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    band key = '-'-joined minhashes of the band's rows in i order."""
+    banded = (
+        signatures.withColumn("band", (F.col("i") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+                    lambda s: s.getField("minhash").cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit-family SimHash (60 bits): per-bit weighted majority over
+    token md5 hashes, weight = token tf. JVM-side only."""
+    toks = (
+        docs.select("doc_id", F.explode(word_tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        )
+    )
+    bits = toks.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(h >> j) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") >= 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("bit").cast("long") * F.pow(F.lit(2.0), F.col("j")).cast("long")
+            ).alias("simhash")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic (en vs la); deterministic
+    tie-break by language name."""
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens_col(F.col(text_col))).alias("tok")
+    )
+    scored = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum(F.when(F.col("tok").isin(ENGLISH_STOPWORDS), 1).otherwise(0))
+         / F.count("*")).alias("en_ratio"),
+        (F.sum(F.when(F.col("tok").isin(LATIN_STOPWORDS), 1).otherwise(0))
+         / F.count("*")).alias("la_ratio"),
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.when(
+            (F.col("en_ratio") < 0.05) & (F.col("la_ratio") < 0.05), F.lit("unknown")
+        )
+        .when(F.col("en_ratio") >= F.col("la_ratio"), F.lit("en"))
+        .otherwise(F.lit("la")),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality metrics + composite."""
+    norm = norm_text_col(F.col(text_col))
+    toks = word_tokens_col(F.col(text_col))
+    n_chars = F.length(norm)
+    n_tokens = F.size(toks)
+    stop_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(toks, lambda x: x.isin(ENGLISH_STOPWORDS))) / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(norm, r"[^a-z0-9 ]", ""))) / n_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_norm"),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count
+    (word runs + punctuation runs, the HF Whitespace pattern)."""
+    norm = norm_text_col(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(norm, " "), lambda x: x != "")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(norm, F.lit(r"[a-z0-9_]+|[^a-z0-9_\s]+"), 0)
+        ).alias("bpeish_tokens"),
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _fingerprint_udf(s: pd.Series) -> pd.Series:
+    """Exact polynomial rolling-hash fingerprint (mod 2^61-1, base
+    1000003) of an ALREADY-normalized string column. Module-level so
+    the pd.Series type hints resolve under future-annotations."""
+    from .hashing import polynomial_hash_codes
+
+    def one(t: str) -> int:
+        codes = np.frombuffer((t or "").encode("utf-32le"), dtype=np.uint32)
+        return polynomial_hash_codes(codes.astype(np.uint64))
+
+    return s.map(one)
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint over JVM-normalized text — normalization
+    stays in Catalyst (matches the SQL oracle's RE2 semantics); only
+    the exact mod-2^61-1 arithmetic runs in the Arrow UDF."""
+    return docs.select(
+        "doc_id",
+        _fingerprint_udf(norm_text_col(F.col(text_col))).alias("fingerprint"),
+    )
