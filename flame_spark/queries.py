@@ -841,13 +841,14 @@ def q_wand_topk_lno(spark, sf_dir):
     )
 
 
-def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (recall-validated vs brute force in pytest);
-    seeded-hyperplane signatures are not SQL-expressible -> rows-only."""
-    from .embedops import cosine_topk_lsh, load_embeddings
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN — the scale path (k-means coarse quantizer + probe top
+    clusters + exact rerank); recall-validated vs brute force in
+    pytest. The trained quantizer is not SQL-expressible -> rows-only."""
+    from .embedops import cosine_topk_ivf, load_embeddings
 
     emb = load_embeddings(spark, sf_dir)
-    out = cosine_topk_lsh(emb, ANN_QUERY_IDS, k=ANN_K)
+    out = cosine_topk_ivf(emb, ANN_QUERY_IDS, k=ANN_K, n_probe=6)
     return out.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
     )
@@ -906,7 +907,7 @@ QUERIES = {
     # rows-only (non-SQL-expressible) engine paths
     "a8_otsu_threshold": q_otsu_threshold,
     "wand_topk_lno": q_wand_topk_lno,
-    "ann_lsh_topk": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
     "t3_bpe_tokens": q_bpe_tokens,
 }
 
