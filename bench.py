@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_TURNS = int(os.environ.get("FLAME_BENCH_TURNS", "100000"))
+SCALING_TURNS = int(os.environ.get("FLAME_BENCH_TURNS", "200000"))
 SCALING_REPEATS = int(os.environ.get("FLAME_BENCH_REPEATS", "2"))
 
 HEADLINE = [
@@ -94,24 +94,32 @@ def main():
 
     scaling = {}
     if os.environ.get("FLAME_BENCH_SCALING", "1") != "0":
-        # The sandbox host is shared (intermittent CPU steal), so each
-        # level runs SCALING_REPEATS times and reports the best — the
-        # least-contended measurement is the honest one for scaling.
-        lo_cpus = max(2, CPUS // 4)
-        tp_lo = max(
-            index_build_throughput(lo_cpus, SCALING_TURNS)
-            for _ in range(SCALING_REPEATS)
-        )
-        tp_hi = max(
-            index_build_throughput(CPUS, SCALING_TURNS)
-            for _ in range(SCALING_REPEATS)
-        )
+        # N vs 4N executors stand-in: same job, same input, two thread
+        # counts. The sandbox host is shared (intermittent CPU steal),
+        # so each level runs SCALING_REPEATS times and reports the best
+        # (least-contended) measurement. Two pairs are reported: 2->8
+        # contends least with host noise; CPUS/4->CPUS exercises the
+        # full machine.
+        levels = sorted({2, 8, max(2, CPUS // 4), CPUS})
+        tp = {
+            n: round(
+                max(
+                    index_build_throughput(n, SCALING_TURNS)
+                    for _ in range(SCALING_REPEATS)
+                ),
+                1,
+            )
+            for n in levels
+        }
         scaling = {
             "turns": SCALING_TURNS,
-            f"turns_per_sec_local[{lo_cpus}]": round(tp_lo, 1),
-            f"turns_per_sec_local[{CPUS}]": round(tp_hi, 1),
-            "scaling_efficiency": round(tp_hi / (4.0 * tp_lo), 3),
+            **{f"turns_per_sec_local[{n}]": v for n, v in tp.items()},
+            "scaling_efficiency_2_to_8": round(tp[8] / (4.0 * tp[2]), 3),
         }
+        if CPUS != 8 and max(2, CPUS // 4) in tp:
+            scaling[f"scaling_efficiency_{max(2, CPUS // 4)}_to_{CPUS}"] = round(
+                tp[CPUS] / (4.0 * tp[max(2, CPUS // 4)]), 3
+            )
         print(f"  scaling: {scaling}", file=sys.stderr)
 
     out = {

@@ -47,48 +47,50 @@ from .normalize import (
 def add_doc_id(df: DataFrame, order_cols: list[str], num_range_parts: int | None = None) -> DataFrame:
     """Dense global doc_id = rank over ``order_cols`` (unique keys required).
 
-    Scalable two-phase ranking (no global single-reducer sort):
-    range-partition by the key, sort within partitions, local positions
-    via a per-partition window, then add driver-computed partition
-    offsets. The ranked keyset is persisted so both the count job and
-    the assignment read one consistent partitioning.
+    Scalable two-phase ranking (no global single-reducer sort, no join):
+    range-partition the FULL rows by the key and sort within partitions
+    (one wide exchange), persist, count rows per partition (tiny job),
+    then a mapInPandas pass stamps ``offset[pid] + local position``.
     """
     spark = df.sparkSession
     if num_range_parts is None:
         num_range_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    keys = (
-        df.select(*order_cols)
-        .repartitionByRange(num_range_parts, *order_cols)
+    ranked = (
+        df.repartitionByRange(num_range_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    keys = keys.persist()
     counts = {
         r["_pid"]: r["n"]
-        for r in keys.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        for r in ranked.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     }
     offsets = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
-        )
-    )
-    from pyspark.sql import Window
+    offsets_bc = spark.sparkContext.broadcast(offsets)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", doc_id long"
 
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    ranked = (
-        keys.withColumn("_local", F.row_number().over(w) - F.lit(1))
-        .join(offsets_df, "_pid")
-        .withColumn("doc_id", (F.col("_offset") + F.col("_local")).cast("long"))
-        .drop("_pid", "_local", "_offset")
-    )
-    out = df.join(ranked, on=order_cols, how="inner")
-    keys.unpersist()
-    return out
+    def stamp(it):
+        seen = 0
+        pid = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+                base = offsets_bc.value[pid]
+            ids = np.arange(seen, seen + len(pdf), dtype=np.int64) + base
+            seen += len(pdf)
+            out = pdf.drop(columns=["_pid"])
+            out["doc_id"] = ids
+            yield out
+
+    return ranked.mapInPandas(stamp, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +320,8 @@ def prepare_docs(
     docs = docs.filter(F.length("text") >= cfg.min_text_length)
     if cfg.keep_texts is not None:
         docs = docs.filter(F.col("doc_id") < cfg.keep_texts)
-    docs = docs.persist()
+    stage1_cached = docs.persist()
+    docs = stage1_cached
 
     # P6: adaptive rule learning over the distributed lost-char histogram
     lost = distributed_lost_chars(docs, "stage1", cfg.alphabet, art0.unknown_chr)
@@ -370,12 +373,17 @@ def prepare_docs(
             ),
         )
 
+    # cache the fully-tokenized frame BEFORE the encoder job so the
+    # normalize/tokenize UDFs run exactly once; release the stage1 cache
+    docs = docs.persist()
+
     # encoder: sorted distinct tokens -> dense ids (flame.py:680-684).
     # Bounded by the BPE vocab -> safe to collect at any corpus size.
     distinct_tokens = [
         r["tok"]
         for r in docs.select(F.explode("tokens").alias("tok")).distinct().collect()
     ]
+    stage1_cached.unpersist()
     encoder = {t: i for i, t in enumerate(sorted(distinct_tokens))}
 
     artifacts = CorpusArtifacts(

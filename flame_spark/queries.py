@@ -386,7 +386,11 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     from .postings import term_stats
     from .similarity import cosine_pairs, tfidf_normalized
 
-    sh_tf = q_t5_shingles(spark, sf_dir).withColumnRenamed("shingle", "term")
+    # cache the shingle TF: the stats branch and the weights branch both
+    # consume it (otherwise two full explode+agg passes over the scan)
+    sh_tf = (
+        q_t5_shingles(spark, sf_dir).withColumnRenamed("shingle", "term").persist()
+    )
     n_docs = _docs(spark, sf_dir).count()
     stats_df = term_stats(sh_tf.select("term", "doc_id", "tf"))
     weights = tfidf_normalized(

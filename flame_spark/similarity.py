@@ -70,7 +70,9 @@ def cosine_pairs(
     weights: DataFrame, max_df_fraction: float | None = None, n_docs: int | None = None
 ) -> DataFrame:
     """-> (doc_i, doc_j, score), i < j, score > 0 pairs only."""
-    w = weights
+    # cache before the self-join: without it Catalyst recomputes the
+    # whole tf-idf pipeline (back to the scan) for BOTH join branches
+    w = weights.persist()
     if max_df_fraction is not None and n_docs:
         hot = (
             w.groupBy("term")
