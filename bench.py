@@ -83,6 +83,41 @@ def index_build_throughput(cpus: int, n_turns: int) -> float:
         spark.stop()
 
 
+def bm25_latency(spark) -> dict[str, float]:
+    """Per-query BM25 latency over a PRE-BUILT index (segments cached):
+    the steady-state serving cost, reported as p50/p95 ms."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flame_spark.config import FlameConfig
+    from flame_spark.pipeline import build_index, build_segment_table, wand_bm25_topk
+    from flame_spark.queries import BM25_QUERIES
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    cfg = FlameConfig(
+        ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+        term_mode="lno", n_shards=max(8, CPUS // 2),
+    )
+    index = build_index(docs, cfg)
+    segments = build_segment_table(index).persist()
+    segments.count()  # build once; latency below is query-only
+    lats = []
+    for _ in range(5):
+        for qid, qtext in BM25_QUERIES:
+            t0 = time.perf_counter()
+            wand_bm25_topk(
+                spark, [{"query_id": qid, "query_text": qtext}], index, segments, k=10
+            ).collect()
+            lats.append((time.perf_counter() - t0) * 1000.0)
+    return {
+        "bm25_p50_ms": round(float(np.percentile(lats, 50)), 1),
+        "bm25_p95_ms": round(float(np.percentile(lats, 95)), 1),
+        "n_query_runs": len(lats),
+    }
+
+
 def main():
     from flame_spark.session import get_spark
 
@@ -90,6 +125,10 @@ def main():
     t0 = time.perf_counter()
     times = run_headline(spark)
     total = round(time.perf_counter() - t0, 3)
+    latency = {}
+    if os.environ.get("FLAME_BENCH_LATENCY", "1") != "0":
+        latency = bm25_latency(spark)
+        print(f"  latency: {latency}", file=sys.stderr)
     spark.stop()
 
     scaling = {}
@@ -128,6 +167,7 @@ def main():
         "unit": "sec",
         "queries": times,
         "sf": SF_DIR,
+        "latency": latency,
         "scaling": scaling,
     }
     print(json.dumps(out))

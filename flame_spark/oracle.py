@@ -217,6 +217,53 @@ def oracle_cosine_pairs(idx: OracleIndex) -> dict[tuple[int, int], float]:
     return out
 
 
+def oracle_cosine_pairs_inter(
+    idx1: OracleIndex, idx2: OracleIndex
+) -> dict[tuple[int, int], float]:
+    """Inter-corpus mode (flame.py:793-801): idf fit on the vstacked
+    union of both TF matrices, transform each, all nonzero cells of
+    matrix1 x matrix2^T (rectangular — no triangle filter)."""
+    n_union = float(idx1.n_docs + idx2.n_docs)
+    df_union: dict[int, int] = {}
+    for idx in (idx1, idx2):
+        for (_, t) in idx.tf:
+            df_union[t] = df_union.get(t, 0) + 1
+
+    def weights(idx: OracleIndex) -> dict[int, dict[int, float]]:
+        doc_terms: dict[int, list[int]] = {d: [] for d in idx.doc_ids}
+        for (dd, t) in idx.tf:
+            doc_terms[dd].append(t)
+        out = {}
+        for d in idx.doc_ids:
+            terms = sorted(doc_terms[d])
+            w = {
+                t: idx.tf[(d, t)]
+                * (np.log((1.0 + n_union) / (1.0 + df_union[t])) + 1.0)
+                for t in terms
+            }
+            norm_sq = 0.0
+            for t in terms:
+                norm_sq += w[t] * w[t]
+            norm = np.sqrt(norm_sq)
+            out[d] = {t: (w[t] / norm if norm > 0 else 0.0) for t in terms}
+        return out
+
+    w1, w2 = weights(idx1), weights(idx2)
+    by_term2: dict[int, list[int]] = {}
+    for d, w in w2.items():
+        for t in w:
+            by_term2.setdefault(t, []).append(d)
+    pair_terms: dict[tuple[int, int], list[int]] = {}
+    for d1, w in w1.items():
+        for t in w:
+            for d2 in by_term2.get(t, ()):
+                pair_terms.setdefault((d1, d2), []).append(t)
+    return {
+        (i, j): sum(w1[i][t] * w2[j][t] for t in sorted(terms))
+        for (i, j), terms in pair_terms.items()
+    }
+
+
 def oracle_otsu_threshold(idx: OracleIndex, pairs: dict[tuple[int, int], float]) -> float:
     """Otsu over nonzero dist_mat entries: each pair twice + diagonal 1.0
     per doc with nonzero features (flame.py:689-701, :810)."""

@@ -91,6 +91,60 @@ def build_index(raw_docs: DataFrame, cfg: FlameConfig) -> FlameIndex:
     )
 
 
+def query_terms_local(
+    spark: SparkSession, queries: list[dict], index: FlameIndex
+) -> DataFrame:
+    """Driver-side query processing (the serving fast path).
+
+    Queries are tiny; running the normalize/tokenize/shingle pipeline as
+    Spark UDF stages costs several job round-trips per request. This
+    path computes the SAME functions (normalize.py / bpe.py /
+    hashing.py — the code the executors run) in-process and ships the
+    resulting (query_id, term, qtf) rows directly. Rank-identity is
+    preserved by construction; the distributed path remains for bulk
+    query sets (``query_terms_df``).
+    """
+    import numpy as np
+
+    from .hashing import lno_gram_hashes
+    from .normalize import apply_lut, canonicalize_whitespace, stage1_normalize
+
+    cfg = index.cfg
+    art = index.artifacts
+    main_lut = art.norm.main_lut()
+    plut = art.norm.phonetic_lut()
+    rows = []
+    for q in queries:
+        t = canonicalize_whitespace(q["query_text"] or "")
+        t = stage1_normalize(
+            t, art.norm.bigram_rules if cfg.bigram_enabled else None
+        )
+        t = apply_lut(t, main_lut)
+        if plut is not None:
+            t = apply_lut(t, plut)
+        if cfg.tokenizer == "bpe":
+            toks = art.bpe.encode(t)
+        else:
+            import re
+
+            toks = [x for x in re.split(r"[^a-z0-9]+", t) if x]
+        ids = [art.encoder[x] for x in toks if x in art.encoder]
+        if cfg.term_mode == "lno":
+            terms = lno_gram_hashes(
+                np.array(ids, dtype=np.int64), len(art.encoder), cfg.ngram, cfg.n_out
+            ).tolist()
+        else:
+            terms = toks
+        qtf: dict = {}
+        for f in terms:
+            qtf[f] = qtf.get(f, 0) + 1
+        rows.extend((q["query_id"], f, int(c)) for f, c in qtf.items())
+    term_type = "long" if cfg.term_mode == "lno" else "string"
+    return spark.createDataFrame(
+        rows, f"query_id string, term {term_type}, qtf int"
+    )
+
+
 def query_terms_df(
     spark: SparkSession, queries: list[dict], index: FlameIndex
 ) -> DataFrame:
@@ -131,10 +185,14 @@ def query_terms_df(
 
 
 def bm25_topk(
-    spark: SparkSession, queries: list[dict], index: FlameIndex, k: int = 10
+    spark: SparkSession, queries: list[dict], index: FlameIndex, k: int = 10,
+    local_query_pipeline: bool = True,
 ) -> DataFrame:
     """Exhaustive (uncompressed) BM25 top-k — the rank-identity baseline."""
-    qterms = explode_query_terms(query_terms_df(spark, queries, index))
+    if local_query_pipeline:
+        qterms = query_terms_local(spark, queries, index)
+    else:
+        qterms = explode_query_terms(query_terms_df(spark, queries, index))
     scored = score_bm25(
         qterms,
         index.postings_dl,
@@ -173,7 +231,7 @@ def wand_bm25_topk(
     ``bm25_topk`` by construction (verified by tests)."""
     from .wand import wand_topk
 
-    qterms = explode_query_terms(query_terms_df(spark, queries, index))
+    qterms = query_terms_local(spark, queries, index)
     return wand_topk(qterms, segments, k, index.cfg.block_size)
 
 

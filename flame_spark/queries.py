@@ -426,6 +426,50 @@ SELECT doc_i, doc_j, round(sum(p), 6) AS score FROM prods GROUP BY doc_i, doc_j
 
 
 # ---------------------------------------------------------------------------
+# J1 inter-corpus mode (S4/U1): idf fit on the union, cosine m1 x m2^T
+# corpus1 = even doc_ids, corpus2 = odd (deterministic split)
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_inter(spark, sf_dir):
+    from .similarity import cosine_pairs_inter, tfidf_normalized_inter
+
+    sh_tf = (
+        q_t5_shingles(spark, sf_dir)
+        .withColumnRenamed("shingle", "term")
+        .select("term", "doc_id", F.col("tf").cast("int").alias("tf"))
+        .persist()
+    )
+    n_union = _docs(spark, sf_dir).count()
+    p1 = sh_tf.filter(F.col("doc_id") % 2 == 0)
+    p2 = sh_tf.filter(F.col("doc_id") % 2 == 1)
+    w1, w2 = tfidf_normalized_inter(p1, p2, n_union)
+    return cosine_pairs_inter(w1, w2).select(
+        "doc_i", "doc_j", F.round("score", 6).alias("score")
+    )
+
+
+SQL_COSINE_INTER = f"""
+WITH tf AS ({SQL_T5_SHINGLES}),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfu AS (SELECT shingle, count(*)::DOUBLE AS df FROM tf GROUP BY shingle),
+w AS (
+  SELECT tf.doc_id, tf.shingle,
+         tf.tf::DOUBLE * (ln((1.0 + nd.n) / (1.0 + dfu.df)) + 1.0) AS w
+  FROM tf JOIN dfu USING (shingle) CROSS JOIN nd
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+wn AS (SELECT w.doc_id, w.shingle, w.w / nrm.nrm AS wn FROM w JOIN nrm USING (doc_id)),
+prods AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.wn * b.wn AS p
+  FROM wn a JOIN wn b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+)
+SELECT doc_i, doc_j, round(sum(p), 6) AS score FROM prods GROUP BY doc_i, doc_j
+"""
+
+
+# ---------------------------------------------------------------------------
 # O1: pair ranking (sort by score desc, deterministic tie-break, limit)
 # ---------------------------------------------------------------------------
 
@@ -895,6 +939,7 @@ QUERIES = {
     "t5_lno31_postings": q_lno31_postings,
     "j6_bm25_topk": q_bm25_topk,
     "j1_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "j1_cosine_inter": q_cosine_inter,
     "o1_top_pairs": q_top_pairs,
     "a9_percentile99": q_percentile99,
     "dedup_exact_groups": q_exact_hash_groups,
@@ -927,6 +972,7 @@ ORACLE_SQL = {
     "t5_lno31_postings": SQL_LNO31_POSTINGS,
     "j6_bm25_topk": SQL_BM25_TOPK,
     "j1_tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "j1_cosine_inter": SQL_COSINE_INTER,
     "o1_top_pairs": SQL_TOP_PAIRS,
     "a9_percentile99": SQL_PERCENTILE99,
     "dedup_exact_groups": SQL_EXACT_HASH_GROUPS,

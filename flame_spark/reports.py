@@ -129,6 +129,146 @@ def linguistic_variations(
 
 
 # ---------------------------------------------------------------------------
+# HTML comparison report (S6; flame.py:917-1222 semantics, compact CSS)
+# ---------------------------------------------------------------------------
+
+_HTML_HEAD = """<!DOCTYPE html><html><head><meta charset="utf-8">
+<style>
+.pair{border:1px solid #ccc;margin:12px;padding:8px;font-family:serif}
+.meta{color:#666;font-size:90%%}
+.highlight{background:#ffe08a}
+.match-text{background:#cde8ff}
+.bridge-words{background:#e8ffe0}
+td{vertical-align:top;width:50%%;padding:4px}
+</style></head><body>
+"""
+
+
+def _render_pair_html(
+    tokens_i: list[str],
+    tokens_j: list[str],
+    max_gap_words: int,
+) -> tuple[str, str]:
+    """Aligned HTML for one pair: matching blocks highlighted, small
+    gaps marked as bridge words (flame.py:905-915 structure, simplified
+    rendering: detokenize == space join)."""
+    a1, a2 = analysis_tokens(tokens_i), analysis_tokens(tokens_j)
+    if not a1 or not a2:
+        return " ".join(tokens_i), " ".join(tokens_j)
+    map1 = [i for i, t in enumerate(tokens_i) if t.isalnum()]
+    map2 = [i for i, t in enumerate(tokens_j) if t.isalnum()]
+    sm = SequenceMatcher(None, a1, a2, autojunk=False)
+    out1, out2 = [], []
+    pos1 = pos2 = 0
+    for a, b, size in sm.get_matching_blocks():
+        if size == 0:
+            continue
+        a_s, b_s = map1[a], map2[b]
+        a_e, b_e = map1[a + size - 1] + 1, map2[b + size - 1] + 1
+        if pos1 < a_s or pos2 < b_s:
+            g1, g2 = tokens_i[pos1:a_s], tokens_j[pos2:b_s]
+            w1 = [t for t in g1 if t.isalnum()]
+            w2 = [t for t in g2 if t.isalnum()]
+            bridge = (
+                len(w1) <= max_gap_words
+                and len(w2) <= max_gap_words
+                and len(w1) + len(w2) > 0
+            )
+            cls = "bridge-words" if bridge else ""
+            if g1:
+                out1.append(f'<span class="{cls}">{" ".join(g1)}</span>')
+            if g2:
+                out2.append(f'<span class="{cls}">{" ".join(g2)}</span>')
+        out1.append(f'<span class="highlight">{" ".join(tokens_i[a_s:a_e])}</span>')
+        out2.append(f'<span class="match-text">{" ".join(tokens_j[b_s:b_e])}</span>')
+        pos1, pos2 = a_e, b_e
+    if pos1 < len(tokens_i):
+        out1.append(" ".join(tokens_i[pos1:]))
+    if pos2 < len(tokens_j):
+        out2.append(" ".join(tokens_j[pos2:]))
+    return " ".join(out1), " ".join(out2)
+
+
+def render_comparison_html(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    out_dir: str,
+    max_gap_words: int = 5,
+    max_file_size: int = 20 * 1024 * 1024,
+    name_col: str | None = None,
+) -> list[str]:
+    """Write the pairwise comparison report, 20MB-chunked
+    (flame.py:918, :1207-1214). Pairs are sorted by score desc
+    (flame.py:1172); within a pair the older document (year from the
+    name, default 9999; flame.py:1186-1191) renders on the left — falls
+    back to doc_id when no name column exists. Driver-side render of the
+    (small) post-threshold pair set. Returns written file paths."""
+    import html
+    import os
+
+    sel = ["doc_id", "text"] + ([name_col] if name_col else [])
+    d = docs.select(*sel)
+    surv = (
+        pairs.filter(F.col("score") >= threshold)
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_i"),
+                F.col("text").alias("text_i"),
+                *([F.col(name_col).alias("name_i")] if name_col else []),
+            ),
+            "doc_i",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_j"),
+                F.col("text").alias("text_j"),
+                *([F.col(name_col).alias("name_j")] if name_col else []),
+            ),
+            "doc_j",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_i"), F.asc("doc_j"))
+        .collect()
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    files: list[str] = []
+    buf: list[str] = [_HTML_HEAD]
+    size = len(_HTML_HEAD)
+
+    def flush():
+        nonlocal buf, size
+        if len(buf) <= 1:
+            return
+        p = os.path.join(out_dir, f"text_comparisons_{len(files)}.html")
+        with open(p, "w", encoding="utf-8") as f:
+            f.write("".join(buf) + "</body></html>")
+        files.append(p)
+        buf = [_HTML_HEAD]
+        size = len(_HTML_HEAD)
+
+    for r in surv:
+        ni = r["name_i"] if name_col else str(r["doc_i"])
+        nj = r["name_j"] if name_col else str(r["doc_j"])
+        yi, yj = extract_year(ni), extract_year(nj)
+        ti = display_tokens(html.escape(r["text_i"]))
+        tj = display_tokens(html.escape(r["text_j"]))
+        if (yj, nj) < (yi, ni):  # older doc left (flame.py:1186-1191)
+            ni, nj, ti, tj = nj, ni, tj, ti
+        h1, h2 = _render_pair_html(ti, tj, max_gap_words)
+        block = (
+            f'<div class="pair"><div class="meta">{ni} vs {nj} — '
+            f'score {r["score"]:.4f}</div><table><tr><td>{h1}</td>'
+            f"<td>{h2}</td></tr></table></div>\n"
+        )
+        if size + len(block) > max_file_size:
+            flush()
+        buf.append(block)
+        size += len(block)
+    flush()
+    return files
+
+
+# ---------------------------------------------------------------------------
 # distributed report DataFrames
 # ---------------------------------------------------------------------------
 

@@ -98,6 +98,135 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_salted(
+    weights: DataFrame,
+    term_stats_df: DataFrame,
+    hot_df_threshold: int = 1000,
+    n_splits: int = 8,
+) -> DataFrame:
+    """Skew-aware variant of ``cosine_pairs`` (north rule: hot formulaic
+    n-grams are Zipf-extreme; AQE only splits moderate join skew).
+
+    Terms with df > ``hot_df_threshold`` get their posting rows split
+    into ``n_splits`` doc-hash groups; the all-pairs work of a hot term
+    then runs as G*(G+1)/2 independent reducer partitions instead of
+    one. The a-side row in group ga replicates to keys (ga, gb>=ga),
+    the b-side row in group gb to keys (ga<=gb, gb); the (ga, gb)
+    equi-join + doc_i < doc_j filter yields EXACTLY the same pair set
+    as the plain self-join (verified bit-identical in tests).
+    Non-hot terms keep a single (0, 0) key — no replication cost.
+    """
+    hot = term_stats_df.filter(F.col("df") > hot_df_threshold).select(
+        "term", F.lit(True).alias("_hot")
+    )
+    w = (
+        weights.join(F.broadcast(hot), "term", "left")
+        .withColumn(
+            "_g",
+            F.when(
+                F.col("_hot").isNotNull(), F.pmod(F.xxhash64("doc_id"), F.lit(n_splits))
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("_hot")
+        .persist()
+    )
+    splits = F.lit(n_splits)
+    a = w.withColumn(
+        "_gb", F.explode(F.sequence(F.col("_g"), splits - 1))
+    ).select(
+        "term", F.col("_g").alias("_ga"), "_gb",
+        F.col("doc_id").alias("doc_a"), F.col("wn").alias("wn_a"),
+    )
+    b = w.withColumn(
+        "_ga", F.explode(F.sequence(F.lit(0), F.col("_g")))
+    ).select(
+        "term", "_ga", F.col("_g").alias("_gb"),
+        F.col("doc_id").alias("doc_b"), F.col("wn").alias("wn_b"),
+    )
+    # cross-group pairs meet in exactly ONE role order (the lower-group
+    # member arrives on the a-side), so both doc orders must pass;
+    # same-group pairs meet in BOTH role orders, so doc_a < doc_b
+    # dedups them. Canonicalize to (least, greatest) afterwards.
+    prods = (
+        a.join(b, ["term", "_ga", "_gb"])
+        .where(
+            (F.col("_ga") != F.col("_gb")) | (F.col("doc_a") < F.col("doc_b"))
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_i"),
+            F.greatest("doc_a", "doc_b").alias("doc_j"),
+            F.col("term").alias("t"),
+            (F.col("wn_a") * F.col("wn_b")).alias("val"),
+        )
+    )
+    return prods.groupBy("doc_i", "doc_j").agg(
+        _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# inter-corpus mode (flame.py:793-801): IDF fit on the UNION of both
+# corpora, transform each, cosine = matrix1 x matrix2^T
+# ---------------------------------------------------------------------------
+
+
+def tfidf_normalized_inter(
+    postings1: DataFrame,
+    postings2: DataFrame,
+    n_docs_union: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Inter-corpus TF-IDF: df/N come from the vstacked union
+    (flame.py:794-798), then each corpus is weighted + L2-normalised
+    with those shared idfs."""
+    from .bm25 import _det_sum as _ds
+    from .floatops import np_log
+
+    union = postings1.select("term", "doc_id", "tf").unionByName(
+        postings2.select("term", "doc_id", "tf")
+    )
+    df_union = union.groupBy("term").agg(F.count("*").alias("df"))
+    n = float(n_docs_union)
+    stats_idf = df_union.select(
+        "term",
+        (np_log((1.0 + F.lit(n)) / (1.0 + F.col("df"))) + 1.0).alias("idf"),
+    )
+
+    def weight(p):
+        w = p.join(stats_idf, "term").withColumn(
+            "w", F.col("tf").cast("double") * F.col("idf")
+        )
+        norms = (
+            w.select("doc_id", F.col("term").alias("t"), (F.col("w") * F.col("w")).alias("val"))
+            .groupBy("doc_id")
+            .agg(F.sqrt(_ds(F.col("t").alias("t"), F.col("val").alias("val"))).alias("norm"))
+        )
+        return (
+            w.join(norms, "doc_id")
+            .withColumn("wn", F.col("w") / F.col("norm"))
+            .select("term", "doc_id", "wn")
+        )
+
+    return weight(postings1), weight(postings2)
+
+
+def cosine_pairs_inter(weights1: DataFrame, weights2: DataFrame) -> DataFrame:
+    """(doc_i from corpus1, doc_j from corpus2, score) — ALL nonzero
+    cells of matrix1 x matrix2^T (no triangle filter: the inter-corpus
+    matrix is rectangular, flame.py:801)."""
+    a = weights1.persist().alias("a")
+    b = weights2.persist().alias("b")
+    prods = a.join(b, "term").select(
+        F.col("a.doc_id").alias("doc_i"),
+        F.col("b.doc_id").alias("doc_j"),
+        F.col("term").alias("t"),
+        (F.col("a.wn") * F.col("b.wn")).alias("val"),
+    )
+    return prods.groupBy("doc_i", "doc_j").agg(
+        _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias("score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # auto threshold (flame.py:689-708)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,93 @@
+"""Text-directory source (S1-S3), artifact save/load (S10), HTML report (S6)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_load_text_dir(spark, tmp_path):
+    from flame_spark.sources import load_text_dir
+
+    d = tmp_path / "corpus" / "sub"
+    d.mkdir(parents=True)
+    (tmp_path / "corpus" / "charter_1180.txt").write_text(
+        "In nomine   sancte\net individue trinitatis amen " * 3, encoding="utf-8"
+    )
+    (d / "deed_1254.txt").write_text("Notum sit omnibus\tpresentibus " * 5)
+    (d / "short.txt").write_text("too short")
+    (d / "notes.md").write_text("wrong suffix, must be ignored")
+
+    docs = load_text_dir(spark, str(tmp_path / "corpus"), min_text_length=30)
+    rows = {r["name"]: r for r in docs.collect()}
+    assert set(rows) == {"charter_1180.txt", "deed_1254.txt"}
+    assert rows["charter_1180.txt"]["year"] == 1180
+    assert rows["deed_1254.txt"]["year"] == 1254
+    assert "  " not in rows["charter_1180.txt"]["text"]  # ws collapsed
+    assert "\n" not in rows["charter_1180.txt"]["text"]
+    # dense ids over sorted path
+    assert sorted(r["doc_id"] for r in rows.values()) == [0, 1]
+
+
+def test_artifacts_roundtrip(spark, tmp_path):
+    from flame_spark.artifacts_io import load_artifacts, save_artifacts
+    from flame_spark.config import FlameConfig
+    from flame_spark.corpus import prepare_docs
+
+    docs = spark.createDataFrame(
+        [(0, "in nómine sancte et individue trinitatis amen dico " * 4),
+         (1, "notum ſit omnibus presentibus et futuris salutem vero " * 4)],
+        "doc_id long, text string",
+    )
+    cfg = FlameConfig(min_text_length=10, tokenizer="bpe", vocab_size=120)
+    _, art = prepare_docs(docs, cfg)
+    p = str(tmp_path / "artifacts.json")
+    save_artifacts(art, p)
+    art2 = load_artifacts(p)
+    assert art2.encoder == art.encoder
+    assert art2.norm.learned_rules == art.norm.learned_rules
+    text = "in nómine ſancte"
+    assert art2.norm.normalize(text) == art.norm.normalize(text)
+    assert art2.bpe.encode("nomine sancte") == art.bpe.encode("nomine sancte")
+
+
+def test_render_comparison_html(spark, tmp_path):
+    from flame_spark.reports import render_comparison_html
+
+    docs = spark.createDataFrame(
+        [
+            (0, "in nomine sancte et individue trinitatis amen dico vobis gratia"),
+            (1, "in nomine sanctae et individue trinitatis amen dico vobis gratia"),
+            (2, "unrelated text entirely about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.91), (0, 2, 0.02)], "doc_i long, doc_j long, score double"
+    )
+    files = render_comparison_html(pairs, docs, threshold=0.5, out_dir=str(tmp_path))
+    assert len(files) == 1
+    html = open(files[0], encoding="utf-8").read()
+    assert html.count('class="pair"') == 1  # only the surviving pair
+    assert 'class="highlight"' in html and "score 0.9100" in html
+    assert "trinitatis amen dico vobis gratia" in html
+
+
+def test_html_chunking(spark, tmp_path):
+    from flame_spark.reports import render_comparison_html
+
+    long_text = "alpha beta gamma delta epsilon zeta " * 200
+    docs = spark.createDataFrame(
+        [(i, long_text) for i in range(12)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, j, 0.99) for i in range(12) for j in range(i + 1, 12)],
+        "doc_i long, doc_j long, score double",
+    )
+    files = render_comparison_html(
+        pairs, docs, threshold=0.5, out_dir=str(tmp_path), max_file_size=200_000
+    )
+    assert len(files) > 1  # chunked
+    total_pairs = sum(
+        open(f, encoding="utf-8").read().count('class="pair"') for f in files
+    )
+    assert total_pairs == 66
