@@ -902,6 +902,74 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_stream_events_window(spark, sf_dir):
+    """Structured Streaming variant of events_window5m: readStream over
+    the events table (staged into a directory — single files cannot be
+    stream sources), watermarked 5-minute tumbling windows, driven to
+    completion with the memory sink. Output is identical to the batch
+    query, so it shares the SAME DuckDB oracle — the streaming path is
+    value-checked, not just rows-only."""
+    import hashlib
+    import os
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage_dir = f"/tmp/flame_stream_events_{tag}"
+    if not os.path.isdir(stage_dir):
+        os.makedirs(stage_dir, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", stage_dir)
+
+    from .streaming import windowed_event_counts
+
+    agg = windowed_event_counts(spark, stage_dir)
+    qname = f"ev_win_{tag}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.processAllAvailable()
+    out = spark.table(qname).select(
+        F.unix_timestamp("w_start").cast("long").alias("w_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+    # materialize before stopping the stream (memory sink is session-live,
+    # but freeze the result to be safe)
+    rows = out.collect()
+    q.stop()
+    return spark.createDataFrame(
+        rows, "w_start long, event_type string, n long, sum_value double"
+    )
+
+
+def q_autotune(spark, sf_dir):
+    """§2.11 auto-tune grid search over the documents corpus (word
+    tokens): returns the selected (ngram, n_out) + SNR. Deterministic
+    (seeded noise protocol); not SQL-expressible -> rows-only."""
+    from .autotune import auto_tune
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", word_tokens_col(F.col("text")))
+        .select("doc_id", "tokens")
+        .orderBy("doc_id")
+        .limit(30)
+        .collect()
+    )
+    sample = [list(r["tokens"]) for r in docs]
+    encoder = {
+        t: i for i, t in enumerate(sorted({x for s in sample for x in s}))
+    }
+    ng, no, snr = auto_tune(sample, encoder, 6, 1)
+    return spark.createDataFrame(
+        [(int(ng), int(no), float(round(snr, 6)))],
+        "best_ngram int, best_n_out int, snr double",
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     """BPE subword tokenization of documents (T2/T3) — the trained-model
     path; BPE training is not SQL-expressible -> rows-only."""
@@ -953,7 +1021,9 @@ QUERIES = {
     "text_fingerprints": q_fingerprints,
     "ann_cosine_topk": q_ann_bruteforce,
     "events_window5m": q_events_window,
+    "stream_events_window5m": q_stream_events_window,
     # rows-only (non-SQL-expressible) engine paths
+    "autotune_grid": q_autotune,
     "a8_otsu_threshold": q_otsu_threshold,
     "wand_topk_lno": q_wand_topk_lno,
     "ann_ivf_topk": q_ann_ivf,
@@ -986,4 +1056,7 @@ ORACLE_SQL = {
     "text_fingerprints": SQL_FINGERPRINTS,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "events_window5m": SQL_EVENTS_WINDOW,
+    # the streaming variant must equal the batch aggregation, so it
+    # shares the batch oracle — Structured Streaming under the gate
+    "stream_events_window5m": SQL_EVENTS_WINDOW,
 }

@@ -269,6 +269,49 @@ def render_comparison_html(
 
 
 # ---------------------------------------------------------------------------
+# similarity heatmap (S7; flame.py:1224-1238 semantics, SVG instead of
+# plotly — not available here). Size guard retained (flame.py:1360-1363).
+# ---------------------------------------------------------------------------
+
+
+def render_heatmap_svg(
+    pairs: DataFrame, n_docs: int, out_path: str, max_docs: int = 2000
+) -> str | None:
+    """Dense n x n heatmap of pair scores as a standalone SVG file.
+    Skipped (returns None) at >= ``max_docs`` docs like the reference.
+    Driver-side densification of the collected sparse pairs."""
+    if n_docs >= max_docs:
+        return None
+    mat = np.zeros((n_docs, n_docs))
+    np.fill_diagonal(mat, 1.0)
+    for r in pairs.collect():
+        i, j = int(r["doc_i"]), int(r["doc_j"])
+        if i < n_docs and j < n_docs:
+            mat[i, j] = mat[j, i] = float(r["score"])
+    cell = max(2, min(12, 800 // max(n_docs, 1)))
+    size = cell * n_docs
+    rects = []
+    for i in range(n_docs):
+        for j in range(n_docs):
+            v = mat[i, j]
+            if v <= 0:
+                continue
+            shade = int(255 - v * 200)
+            rects.append(
+                f'<rect x="{j*cell}" y="{i*cell}" width="{cell}" height="{cell}" '
+                f'fill="rgb(255,{shade},{shade})"><title>({i},{j}) '
+                f"{v:.4f}</title></rect>"
+            )
+    svg = (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" '
+        f'height="{size}">{"".join(rects)}</svg>'
+    )
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write(svg)
+    return out_path
+
+
+# ---------------------------------------------------------------------------
 # distributed report DataFrames
 # ---------------------------------------------------------------------------
 
