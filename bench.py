@@ -79,7 +79,7 @@ def index_build_throughput(cpus: int, n_turns: int, staged_path: str | None = No
     tokenize -> shingle -> postings -> stats -> segments) at the given
     parallelism; returns turns/sec. Fresh SparkSession per level."""
     from flame_spark.config import FlameConfig
-    from flame_spark.corpus import add_doc_id
+    from flame_spark.corpus import add_doc_id_conv
     from flame_spark.data import transcripts_df
     from flame_spark.pipeline import build_index, build_segment_table
     from flame_spark.session import get_spark
@@ -99,7 +99,9 @@ def index_build_throughput(cpus: int, n_turns: int, staged_path: str | None = No
             term_mode="lno", n_shards=max(cpus, 8),
         )
         t0 = time.perf_counter()
-        tdf = add_doc_id(raw, ["conv_id", "turn_idx"])
+        # contiguous-turn_idx fast path (FIXTURES contract); the generic
+        # sort-based add_doc_id covers arbitrary keys
+        tdf = add_doc_id_conv(raw)
         index = build_index(tdf.select("doc_id", "text"), cfg)
         segments = build_segment_table(index)
         segments.count()

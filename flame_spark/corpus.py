@@ -93,6 +93,28 @@ def add_doc_id(df: DataFrame, order_cols: list[str], num_range_parts: int | None
     return ranked.mapInPandas(stamp, schema=out_schema)
 
 
+def add_doc_id_conv(df: DataFrame) -> DataFrame:
+    """Dense doc_id for transcripts with CONTIGUOUS per-conversation
+    turn_idx (the FIXTURES.md contract: 0..turns(c)-1).
+
+    doc_id = offset(conv_id) + turn_idx where offsets are a prefix sum
+    over per-conversation turn counts — ONE small aggregation (n_conv
+    rows), one window over that small table, one broadcast join. No
+    full-row sort, no full-row persist: the cheap path the generic
+    ``add_doc_id`` cannot take without the contiguity guarantee.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy("conv_id").agg(F.count("*").alias("_n"))
+    w = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long")
+    ).select("conv_id", "_offset")
+    return df.join(F.broadcast(offsets), "conv_id").withColumn(
+        "doc_id", (F.col("_offset") + F.col("turn_idx")).cast("long")
+    ).drop("_offset")
+
+
 # ---------------------------------------------------------------------------
 # pandas UDF factories (broadcast-capturing closures)
 # ---------------------------------------------------------------------------
@@ -119,13 +141,28 @@ def make_stage1_udf(bigram_rules: dict[str, str] | None):
 def make_canon_stage1_udf(bigram_rules: dict[str, str] | None):
     """Fused S2 + P1-P3 (one Arrow round trip): whitespace canon AND
     stage1 normalize, returned as a struct so the min-length filter can
-    run on the canonical text while stage1 is already computed."""
+    run on the canonical text while stage1 is already computed.
+
+    Vectorized with pandas C string kernels: ``.str.replace`` with
+    regex=False is the same sequential literal replacement the
+    reference applies per doc (flame.py:435-447), and Python-re
+    ``\\s+`` here matches ``canonicalize_whitespace`` exactly.
+    """
+    from .normalize import ONE_TO_MANY
+
     rules = dict(bigram_rules) if bigram_rules else None
 
     @F.pandas_udf("text string, stage1 string")
     def canon_stage1(s: pd.Series) -> pd.DataFrame:
-        canon = s.map(lambda t: canonicalize_whitespace(t or ""))
-        st1 = canon.map(lambda t: stage1_normalize(t, rules))
+        canon = (
+            s.fillna("").str.strip().str.replace(r"\s+", " ", regex=True)
+        )
+        st1 = canon.str.lower()
+        for src, dst in ONE_TO_MANY.items():
+            st1 = st1.str.replace(src, dst, regex=False)
+        if rules:
+            for src, dst in rules.items():
+                st1 = st1.str.replace(src, dst, regex=False)
         return pd.DataFrame({"text": canon, "stage1": st1})
 
     return canon_stage1

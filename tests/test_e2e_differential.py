@@ -112,3 +112,18 @@ def test_otsu_identical(built):
     assert auto_threshold(index, pairs) == oracle_otsu_threshold(
         oidx, oracle_cosine_pairs(oidx)
     )
+
+
+def test_add_doc_id_conv_matches_generic(spark):
+    from flame_spark.corpus import add_doc_id_conv
+
+    tdf = transcripts_df(spark, N_CONV, AVG_TURNS)
+    generic = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in add_doc_id(tdf, ["conv_id", "turn_idx"]).collect()
+    }
+    fast = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in add_doc_id_conv(tdf).collect()
+    }
+    assert fast == generic
