@@ -816,6 +816,72 @@ FROM ranked WHERE rank <= {ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# dedup: embedding-cosine near-duplicates (all pairs >= threshold)
+# ---------------------------------------------------------------------------
+
+EMBED_DEDUP_THRESHOLD = 0.35
+
+
+def q_embed_cosine_pairs(spark, sf_dir):
+    from .embedops import _dot, _norm, load_embeddings
+
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "vec")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_i"),
+        F.col("b.vec_id").alias("vec_j"),
+        (
+            _dot(F.col("a.vec"), F.col("b.vec"))
+            / (_norm(F.col("a.vec")) * _norm(F.col("b.vec")))
+        ).alias("c"),
+    )
+    return pairs.filter(F.col("c") >= EMBED_DEDUP_THRESHOLD).select(
+        "vec_i", "vec_j", F.round("c", 6).alias("cosine")
+    )
+
+
+SQL_EMBED_COSINE_PAIRS = f"""
+WITH e AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+flat AS (
+  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, unnest(a.v) AS x, unnest(b.v) AS y
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+cos AS (
+  SELECT vec_i, vec_j,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM flat GROUP BY vec_i, vec_j
+)
+SELECT vec_i, vec_j, round(c, 6) AS cosine FROM cos
+WHERE c >= {EMBED_DEDUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# S3: corpus load filters (min length + first-k keep_texts)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_filter(spark, sf_dir):
+    norm = norm_text_col(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.length(norm).cast("long").alias("n_chars_norm"))
+        .filter((F.col("n_chars_norm") >= 150) & (F.col("doc_id") < 300))
+    )
+
+
+SQL_CORPUS_FILTER = (
+    f"SELECT doc_id, length({_NORM_SQL})::BIGINT AS n_chars_norm FROM documents "
+    f"WHERE length({_NORM_SQL}) >= 150 AND doc_id < 300"
+)
+
+
+# ---------------------------------------------------------------------------
 # events: 5-minute tumbling-window aggregation (batch form of the
 # streaming windowed agg; see streaming.py for the readStream variant)
 # ---------------------------------------------------------------------------
@@ -970,6 +1036,25 @@ def q_autotune(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (binary columns + typed metadata + pooled
+    image features over mapInPandas); media blobs are synthesized
+    deterministically (no media tables in testdata) -> rows-only."""
+    from .multimodal import image_features, synthetic_media_df
+
+    media = synthetic_media_df(spark, 90)
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        F.size("features").cast("long").alias("n_features"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+            / F.size("features"),
+            6,
+        ).alias("mean_feature"),
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     """BPE subword tokenization of documents (T2/T3) — the trained-model
     path; BPE training is not SQL-expressible -> rows-only."""
@@ -1015,6 +1100,8 @@ QUERIES = {
     "dedup_minhash_sigs": q_minhash_sigs,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_simhash": q_simhash,
+    "dedup_embed_cosine_pairs": q_embed_cosine_pairs,
+    "s3_corpus_filter": q_corpus_filter,
     "text_langid": q_langid,
     "text_quality": q_quality,
     "text_token_counts": q_token_counts,
@@ -1024,6 +1111,7 @@ QUERIES = {
     "stream_events_window5m": q_stream_events_window,
     # rows-only (non-SQL-expressible) engine paths
     "autotune_grid": q_autotune,
+    "mm_image_features": q_multimodal_features,
     "a8_otsu_threshold": q_otsu_threshold,
     "wand_topk_lno": q_wand_topk_lno,
     "ann_ivf_topk": q_ann_ivf,
@@ -1050,6 +1138,8 @@ ORACLE_SQL = {
     "dedup_minhash_sigs": SQL_MINHASH_SIGS,
     "dedup_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "dedup_simhash": SQL_SIMHASH,
+    "dedup_embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
+    "s3_corpus_filter": SQL_CORPUS_FILTER,
     "text_langid": SQL_LANGID,
     "text_quality": SQL_QUALITY,
     "text_token_counts": SQL_TOKEN_COUNTS,
