@@ -122,6 +122,7 @@ class SegmentWarehouse:
         for shard in range(n_shards):
             if shard in done:
                 continue
+            shard_t0 = time.time()
             lo, hi = shard * span, (shard + 1) * span
             part = postings_scored.filter(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
@@ -144,6 +145,11 @@ class SegmentWarehouse:
             digest = str(digest_row["d"])
             self.record_lineage(
                 spark, shard, input_snapshot, rows_in, rows_out, digest
+            )
+            dt = max(time.time() - shard_t0, 1e-9)
+            self.record_metric(
+                spark, input_snapshot, f"shard_{shard}", "postings_per_sec",
+                rows_in / dt,
             )
             built += 1
             if fail_after_shards is not None and built >= fail_after_shards:

@@ -988,7 +988,9 @@ def q_stream_events_window(spark, sf_dir):
     from .streaming import windowed_event_counts
 
     agg = windowed_event_counts(spark, stage_dir)
-    qname = f"ev_win_{tag}"
+    import uuid
+
+    qname = f"ev_win_{tag}_{uuid.uuid4().hex[:6]}"  # re-runnable in-session
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
