@@ -127,3 +127,35 @@ def test_add_doc_id_conv_matches_generic(spark):
         for r in add_doc_id_conv(tdf).collect()
     }
     assert fast == generic
+
+
+def test_identical_outputs_across_parallelism(spark):
+    """SURVEY §5.2(3): same corpus, two parallelism levels -> identical
+    outputs. Shuffle partitions are changed dynamically (5 vs 23, both
+    co-prime with everything) and the full pipeline result digests must
+    match bit-for-bit — the fixed-order-summation design under test."""
+    import json
+
+    results = []
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ["5", "23"]:
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            tdf = add_doc_id(
+                transcripts_df(spark, N_CONV, AVG_TURNS), ["conv_id", "turn_idx"]
+            )
+            index = build_index(tdf.select("doc_id", "text"), CFG)
+            tk = sorted(
+                (r["query_id"], r["rank"], r["doc_id"], r["score"])
+                for r in bm25_topk(
+                    spark, reference_queries(k=10), index, k=10
+                ).collect()
+            )
+            pairs = sorted(
+                (r["doc_i"], r["doc_j"], r["score"])
+                for r in pairwise_similarity(index).collect()
+            )
+            results.append(json.dumps({"tk": tk, "pairs": pairs}))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1]
