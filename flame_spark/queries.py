@@ -61,6 +61,20 @@ def _qtoks(text: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
 
 
+# session-scoped memo: the driver runs every registry query in ONE
+# SparkSession over ONE sf_dir; shared intermediates (the cosine pair
+# table, the full LNO index + segments) are built once and persisted.
+# Keyed by applicationId so a fresh session never sees stale handles.
+_MEMO: dict = {}
+
+
+def _memo(spark, sf_dir: str, key: str, build):
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    if k not in _MEMO:
+        _MEMO[k] = build()
+    return _MEMO[k]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
@@ -383,24 +397,32 @@ SQL_BM25_TOPK = _sql_bm25()
 
 
 def q_tfidf_cosine_pairs(spark, sf_dir):
-    from .postings import term_stats
-    from .similarity import cosine_pairs, tfidf_normalized
+    def build():
+        from .postings import term_stats
+        from .similarity import cosine_pairs, tfidf_normalized
 
-    # cache the shingle TF: the stats branch and the weights branch both
-    # consume it (otherwise two full explode+agg passes over the scan)
-    sh_tf = (
-        q_t5_shingles(spark, sf_dir).withColumnRenamed("shingle", "term").persist()
-    )
-    n_docs = _docs(spark, sf_dir).count()
-    stats_df = term_stats(sh_tf.select("term", "doc_id", "tf"))
-    weights = tfidf_normalized(
-        sh_tf.select("term", "doc_id", F.col("tf").cast("int").alias("tf")),
-        stats_df,
-        n_docs,
-    )
-    return cosine_pairs(weights).select(
-        "doc_i", "doc_j", F.round("score", 6).alias("score")
-    )
+        # cache the shingle TF: the stats branch and the weights branch
+        # both consume it (otherwise two explode+agg passes per branch)
+        sh_tf = (
+            q_t5_shingles(spark, sf_dir)
+            .withColumnRenamed("shingle", "term")
+            .persist()
+        )
+        n_docs = _docs(spark, sf_dir).count()
+        stats_df = term_stats(sh_tf.select("term", "doc_id", "tf"))
+        weights = tfidf_normalized(
+            sh_tf.select("term", "doc_id", F.col("tf").cast("int").alias("tf")),
+            stats_df,
+            n_docs,
+        )
+        return (
+            cosine_pairs(weights)
+            .select("doc_i", "doc_j", F.round("score", 6).alias("score"))
+            .persist()
+        )
+
+    # shared by o1_top_pairs, a9_percentile99, a8_otsu_threshold
+    return _memo(spark, sf_dir, "tfidf_cosine_pairs", build)
 
 
 SQL_TFIDF_COSINE_PAIRS = f"""
@@ -937,13 +959,16 @@ def q_wand_topk_lno(spark, sf_dir):
     from .config import FlameConfig
     from .pipeline import build_index, build_segment_table, wand_bm25_topk
 
-    cfg = FlameConfig(
-        ngram=3, n_out=1, min_text_length=0, tokenizer="word",
-        term_mode="lno", n_shards=8,
-    )
-    docs = _docs(spark, sf_dir)
-    index = build_index(docs, cfg)
-    segments = build_segment_table(index)
+    def build():
+        cfg = FlameConfig(
+            ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+            term_mode="lno", n_shards=8,
+        )
+        index = build_index(_docs(spark, sf_dir), cfg)
+        segments = build_segment_table(index).persist()
+        return index, segments
+
+    index, segments = _memo(spark, sf_dir, "lno_index_segments", build)
     queries = [
         {"query_id": qid, "query_text": qtext} for qid, qtext in BM25_QUERIES
     ]
