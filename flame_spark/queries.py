@@ -845,22 +845,28 @@ EMBED_DEDUP_THRESHOLD = 0.35
 
 
 def q_embed_cosine_pairs(spark, sf_dir):
-    from .embedops import _dot, _norm, load_embeddings
+    """Exact near-dup pairs via the block-grid gram kernel (no
+    nested-loop join; N·B shuffle rows, bounded task memory) —
+    value-identical to the all-pairs theta-join it replaced; see
+    embedops.embed_cosine_pairs_blocked for why exactness at this
+    threshold precludes LSH/IVF pruning on this data."""
+    from .embedops import embed_cosine_pairs_blocked, load_embeddings
 
     emb = load_embeddings(spark, sf_dir).select("vec_id", "vec")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("vec_i"),
-        F.col("b.vec_id").alias("vec_j"),
-        (
-            _dot(F.col("a.vec"), F.col("b.vec"))
-            / (_norm(F.col("a.vec")) * _norm(F.col("b.vec")))
-        ).alias("c"),
-    )
-    return pairs.filter(F.col("c") >= EMBED_DEDUP_THRESHOLD).select(
-        "vec_i", "vec_j", F.round("c", 6).alias("cosine")
-    )
+    return embed_cosine_pairs_blocked(emb, EMBED_DEDUP_THRESHOLD)
+
+
+# sub-quadratic LSH near-dup (the scale path): gate at a threshold
+# with LSH margin; the oracle twin is the exact all-pairs SQL, so the
+# gate asserts perfect recall of the banded candidates on this data
+EMBED_LSH_THRESHOLD = 0.45
+
+
+def q_embed_near_dup_lsh(spark, sf_dir):
+    from .embedops import embed_near_dup_lsh, load_embeddings
+
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "vec")
+    return embed_near_dup_lsh(emb, EMBED_LSH_THRESHOLD)
 
 
 SQL_EMBED_COSINE_PAIRS = f"""
@@ -881,6 +887,10 @@ cos AS (
 SELECT vec_i, vec_j, round(c, 6) AS cosine FROM cos
 WHERE c >= {EMBED_DEDUP_THRESHOLD}
 """
+
+SQL_EMBED_NEAR_DUP_LSH = SQL_EMBED_COSINE_PAIRS.replace(
+    f">= {EMBED_DEDUP_THRESHOLD}", f">= {EMBED_LSH_THRESHOLD}"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1128,6 +1138,7 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_simhash": q_simhash,
     "dedup_embed_cosine_pairs": q_embed_cosine_pairs,
+    "dedup_embed_lsh_pairs": q_embed_near_dup_lsh,
     "s3_corpus_filter": q_corpus_filter,
     "text_langid": q_langid,
     "text_quality": q_quality,
@@ -1166,6 +1177,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "dedup_simhash": SQL_SIMHASH,
     "dedup_embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
+    "dedup_embed_lsh_pairs": SQL_EMBED_NEAR_DUP_LSH,
     "s3_corpus_filter": SQL_CORPUS_FILTER,
     "text_langid": SQL_LANGID,
     "text_quality": SQL_QUALITY,

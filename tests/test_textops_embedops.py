@@ -113,6 +113,117 @@ def test_lsh_ann_runs_and_scores_match_bruteforce_when_found(spark):
         assert bf[(r["query_id"], r["vec_id"])] == r["cosine"]
 
 
+def _clustered_embeddings(spark, n_clusters=8, per_cluster=40, dim=64, seed=7):
+    """Clustered fixture: tight clusters (intra-cluster cosine ≳0.9,
+    inter ≲0.3) — the regime real embedding near-dups live in, unlike
+    the near-orthogonal testdata embeddings (VERDICT r1 item 8)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c] + 0.018 * rng.standard_normal((per_cluster, dim))
+        for p in pts:
+            rows.append((vid, c, [float(x) for x in p]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, cluster int, vec array<double>"
+    ).select("vec_id", "vec", "cluster")
+
+
+def test_blocked_embed_pairs_equal_allpairs(spark):
+    """The block-grid gram kernel must be VALUE-identical (ids and
+    rounded cosines) to the all-pairs theta-join baseline — exactness
+    is the contract, the blocking only changes the plan."""
+    from flame_spark.embedops import (
+        embed_cosine_pairs_allpairs,
+        embed_cosine_pairs_blocked,
+        load_embeddings,
+    )
+
+    emb = load_embeddings(spark, SF).select("vec_id", "vec")
+    base = sorted(
+        tuple(r) for r in embed_cosine_pairs_allpairs(emb, 0.35).collect()
+    )
+    for n_blocks in (2, 7):
+        blk = sorted(
+            tuple(r)
+            for r in embed_cosine_pairs_blocked(emb, 0.35, n_blocks=n_blocks).collect()
+        )
+        assert blk == base
+    assert len(base) > 100  # non-trivial pair set at sf0.001
+
+
+def test_lsh_near_dup_exact_on_clustered_fixture(spark):
+    """At a real near-dup threshold on clustered data the banded-LSH
+    path must (a) recover the exact brute-force pair set and (b) prune:
+    candidate pairs well below N(N-1)/2."""
+    from flame_spark.embedops import (
+        embed_cosine_pairs_allpairs,
+        embed_near_dup_lsh,
+        load_embeddings,
+    )
+
+    emb = _clustered_embeddings(spark).select("vec_id", "vec").persist()
+    thr = 0.9
+    # wide bands (5 sign bits x 10 bands): the parameter regime for a
+    # high threshold — per-pair recall ~1-4e-6 at cosine 0.98 while a
+    # noise pair (cosine~0) collides with prob ~27% per the LSH formula
+    n_planes, band_rows = 50, 5
+    exact = sorted(tuple(r) for r in embed_cosine_pairs_allpairs(emb, thr).collect())
+    lsh = sorted(
+        tuple(r)
+        for r in embed_near_dup_lsh(
+            emb, thr, n_planes=n_planes, band_rows=band_rows
+        ).collect()
+    )
+    assert len(exact) > 500  # intra-cluster pairs exist
+    assert lsh == exact
+    # pruning: count distinct candidate pairs the band join generates
+    from flame_spark.embedops import _hyperplanes
+
+    n = emb.count()
+    all_pairs = n * (n - 1) // 2
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.stack([np.asarray(r["vec"]) for r in rows])
+    planes = _hyperplanes(X.shape[1], n_planes, 42)
+    bits = ((X @ planes.T) >= 0).astype(np.int64)
+    w = 1 << np.arange(band_rows)
+    cand = set()
+    for band in range(n_planes // band_rows):
+        key = bits[:, band * band_rows : (band + 1) * band_rows] @ w
+        for v in np.unique(key):
+            members = ids[key == v]
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    cand.add((min(members[i], members[j]), max(members[i], members[j])))
+    assert len(cand) < 0.5 * all_pairs, (len(cand), all_pairs)
+    emb.unpersist()
+
+
+def test_lsh_ann_recall_on_clustered_fixture(spark):
+    """LSH ANN with multiprobe reaches usable recall on clustered data
+    (the near-orthogonal testdata defeats any angular LSH — documented)."""
+    from flame_spark.embedops import cosine_topk_bruteforce, cosine_topk_lsh
+
+    emb = _clustered_embeddings(spark).select("vec_id", "vec").persist()
+    qids = [0, 45, 90, 135, 180]
+    bf = cosine_topk_bruteforce(emb, qids, k=5).collect()
+    lsh = cosine_topk_lsh(emb, qids, k=5, n_planes=12).collect()
+    bf_sets, lsh_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in lsh:
+        lsh_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert np.mean(recalls) >= 0.8, recalls
+    emb.unpersist()
+
+
 def test_multimodal_plumbing(spark):
     from flame_spark.multimodal import (
         extract_metadata,
