@@ -33,7 +33,7 @@ from .postings import (
     term_stats,
 )
 from .similarity import (
-    cosine_pairs,
+    cosine_pairs_salted,
     otsu_threshold_distributed,
     similarity_score_multiset,
     tfidf_normalized,
@@ -236,9 +236,14 @@ def wand_bm25_topk(
 
 
 def pairwise_similarity(index: FlameIndex) -> DataFrame:
-    """FLAME dist_mat parity: (doc_i, doc_j, score), i<j, nonzero."""
+    """FLAME dist_mat parity: (doc_i, doc_j, score), i<j, nonzero.
+
+    Uses the skew-salted self-join by default (auto df cutoff from the
+    index's term stats) — bit-identical to the plain ``cosine_pairs``
+    join, but one Zipf-hot formulaic n-gram can no longer pin an entire
+    posting list's pair work on a single reducer."""
     weights = tfidf_normalized(index.postings, index.stats_df, index.stats.n_docs)
-    return cosine_pairs(weights)
+    return cosine_pairs_salted(weights, index.stats_df)
 
 
 def auto_threshold(index: FlameIndex, pairs: DataFrame) -> float:

@@ -399,7 +399,7 @@ SQL_BM25_TOPK = _sql_bm25()
 def q_tfidf_cosine_pairs(spark, sf_dir):
     def build():
         from .postings import term_stats
-        from .similarity import cosine_pairs, tfidf_normalized
+        from .similarity import cosine_pairs_salted, tfidf_normalized
 
         # cache the shingle TF: the stats branch and the weights branch
         # both consume it (otherwise two explode+agg passes per branch)
@@ -409,14 +409,16 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
             .persist()
         )
         n_docs = _docs(spark, sf_dir).count()
-        stats_df = term_stats(sh_tf.select("term", "doc_id", "tf"))
+        stats_df = term_stats(sh_tf.select("term", "doc_id", "tf")).persist()
         weights = tfidf_normalized(
             sh_tf.select("term", "doc_id", F.col("tf").cast("int").alias("tf")),
             stats_df,
             n_docs,
         )
+        # skew-safe default: hot terms (auto df cutoff from term stats)
+        # are split across reducers; bit-identical to the plain join
         return (
-            cosine_pairs(weights)
+            cosine_pairs_salted(weights, stats_df)
             .select("doc_i", "doc_j", F.round("score", 6).alias("score"))
             .persist()
         )

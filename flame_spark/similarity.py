@@ -98,14 +98,36 @@ def cosine_pairs(
     )
 
 
+def auto_hot_df_threshold(term_stats_df: DataFrame, n_partitions: int) -> int:
+    """df cutoff above which a term should be salted, from the already-
+    computed term stats: a term with document frequency d contributes
+    d(d-1)/2 pair rows all landing on ONE reducer in the plain
+    self-join. Mark a term hot when its pair work exceeds 4x the mean
+    per-partition pair work — i.e. d_hot = sqrt(8·W/P) with
+    W = Σ df(df-1)/2 and P the shuffle partitions. One tiny aggregate;
+    floor of 64 so small corpora never salt."""
+    row = term_stats_df.agg(
+        F.sum(
+            F.col("df").cast("double") * (F.col("df").cast("double") - 1.0) / 2.0
+        ).alias("w")
+    ).collect()[0]
+    total_pair_work = float(row["w"] or 0.0)
+    if total_pair_work <= 0:
+        return 64
+    return max(64, int(np.sqrt(8.0 * total_pair_work / max(1, n_partitions))))
+
+
 def cosine_pairs_salted(
     weights: DataFrame,
     term_stats_df: DataFrame,
-    hot_df_threshold: int = 1000,
+    hot_df_threshold: int | None = None,
     n_splits: int = 8,
 ) -> DataFrame:
     """Skew-aware variant of ``cosine_pairs`` (north rule: hot formulaic
     n-grams are Zipf-extreme; AQE only splits moderate join skew).
+    This is the DEFAULT pairwise path (pipeline.pairwise_similarity,
+    registry j1_tfidf_cosine_pairs); ``hot_df_threshold=None`` derives
+    the cutoff from term stats via ``auto_hot_df_threshold``.
 
     Terms with df > ``hot_df_threshold`` get their posting rows split
     into ``n_splits`` doc-hash groups; the all-pairs work of a hot term
@@ -114,31 +136,48 @@ def cosine_pairs_salted(
     the b-side row in group gb to keys (ga<=gb, gb); the (ga, gb)
     equi-join + doc_i < doc_j filter yields EXACTLY the same pair set
     as the plain self-join (verified bit-identical in tests).
-    Non-hot terms keep a single (0, 0) key — no replication cost.
+    Non-hot terms keep their single (g, g) key — the explode bounds
+    collapse to one element, so they are never replicated through the
+    shuffle; only hot-term rows pay the split cost.
     """
+    spark = weights.sparkSession
+    if hot_df_threshold is None:
+        hot_df_threshold = auto_hot_df_threshold(
+            term_stats_df, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
     hot = term_stats_df.filter(F.col("df") > hot_df_threshold).select(
         "term", F.lit(True).alias("_hot")
     )
     w = (
         weights.join(F.broadcast(hot), "term", "left")
+        .withColumn("_hot", F.col("_hot").isNotNull())
         .withColumn(
             "_g",
             F.when(
-                F.col("_hot").isNotNull(), F.pmod(F.xxhash64("doc_id"), F.lit(n_splits))
+                F.col("_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(n_splits))
             ).otherwise(F.lit(0)).cast("int"),
         )
-        .drop("_hot")
         .persist()
     )
     splits = F.lit(n_splits)
     a = w.withColumn(
-        "_gb", F.explode(F.sequence(F.col("_g"), splits - 1))
+        "_gb",
+        F.explode(
+            F.sequence(
+                F.col("_g"), F.when(F.col("_hot"), splits - 1).otherwise(F.col("_g"))
+            )
+        ),
     ).select(
         "term", F.col("_g").alias("_ga"), "_gb",
         F.col("doc_id").alias("doc_a"), F.col("wn").alias("wn_a"),
     )
     b = w.withColumn(
-        "_ga", F.explode(F.sequence(F.lit(0), F.col("_g")))
+        "_ga",
+        F.explode(
+            F.sequence(
+                F.when(F.col("_hot"), F.lit(0)).otherwise(F.col("_g")), F.col("_g")
+            )
+        ),
     ).select(
         "term", "_ga", F.col("_g").alias("_gb"),
         F.col("doc_id").alias("doc_b"), F.col("wn").alias("wn_b"),

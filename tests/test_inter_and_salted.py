@@ -69,11 +69,13 @@ def test_inter_corpus_bit_exact(spark, two_indexes):
 
 
 def test_salted_join_identical_to_plain(spark, two_indexes):
+    from flame_spark.similarity import cosine_pairs
+
     index, *_ = two_indexes
     weights = tfidf_normalized(index.postings, index.stats_df, index.stats.n_docs)
     plain = {
         (r["doc_i"], r["doc_j"]): r["score"]
-        for r in pairwise_similarity(index).collect()
+        for r in cosine_pairs(weights).collect()
     }
     # absurdly low threshold -> EVERY term is "hot" and split 4 ways
     salted = {
@@ -83,3 +85,37 @@ def test_salted_join_identical_to_plain(spark, two_indexes):
         ).collect()
     }
     assert salted == plain  # same pair set, bit-identical scores
+    # the default pipeline path (auto threshold) must also be identical
+    default = {
+        (r["doc_i"], r["doc_j"]): r["score"]
+        for r in pairwise_similarity(index).collect()
+    }
+    assert default == plain
+
+
+def test_skewed_fixture_takes_salted_path(spark):
+    """A deliberately Zipf-hot term must cross the automatic df cutoff
+    (so the default path actually salts it), and the salted result must
+    still equal the plain self-join bit-for-bit."""
+    from flame_spark.similarity import auto_hot_df_threshold, cosine_pairs
+
+    n_docs = 120
+    rows = []
+    for d in range(n_docs):
+        rows.append((d, 777, 1))  # one term in EVERY doc: df = 120
+        rows.append((d, 1000 + d % 9, 2))  # cold terms: df ~ 13
+    postings = spark.createDataFrame(rows, "doc_id long, term long, tf int")
+    stats_df = term_stats(postings)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cutoff = auto_hot_df_threshold(stats_df, parts)
+    assert cutoff < n_docs  # the hot term IS above the auto cutoff
+    weights = tfidf_normalized(postings, stats_df, n_docs)
+    plain = {
+        (r["doc_i"], r["doc_j"]): r["score"]
+        for r in cosine_pairs(weights).collect()
+    }
+    salted = {
+        (r["doc_i"], r["doc_j"]): r["score"]
+        for r in cosine_pairs_salted(weights, stats_df).collect()
+    }
+    assert salted == plain
