@@ -80,14 +80,15 @@ def main(argv=None):
     docs = load_text_dir(
         spark, args.input_path, args.file_suffix, cfg.min_text_length, cfg.keep_texts
     )
+    inter_n1 = None
     if args.input_path2 and os.path.isdir(args.input_path2):
         docs2 = load_text_dir(
             spark, args.input_path2, args.file_suffix, cfg.min_text_length, None
         )
-        n1 = docs.count()
-        docs2 = docs2.withColumn("doc_id", F.col("doc_id") + n1)
+        inter_n1 = docs.count()
+        docs2 = docs2.withColumn("doc_id", F.col("doc_id") + inter_n1)
         docs = docs.unionByName(docs2)
-        print(f"inter-comparison mode: corpus1 ends at doc_id {n1 - 1}")
+        print(f"inter-comparison mode: corpus1 ends at doc_id {inter_n1 - 1}")
 
     n_docs = docs.count()
     if n_docs == 0:
@@ -106,12 +107,34 @@ def main(argv=None):
             cfg.ngram, cfg.n_out = ng, no
             index = build_index(docs.select("doc_id", "text"), cfg)
 
-    pairs = pairwise_similarity(index).persist()
-    if str(args.similarity_threshold).lower() == "auto":
-        threshold = auto_threshold(index, pairs)
-        print(f"auto threshold (Otsu): {threshold:.4f}")
+    if inter_n1 is None:
+        pairs = pairwise_similarity(index).persist()
+        if str(args.similarity_threshold).lower() == "auto":
+            threshold = auto_threshold(index, pairs)
+            print(f"auto threshold (Otsu): {threshold:.4f}")
+        else:
+            threshold = float(args.similarity_threshold)
     else:
-        threshold = float(args.similarity_threshold)
+        # inter-comparison semantics (flame.py:793-801): artifacts and
+        # IDF fit on the UNION, then the RECTANGULAR matrix1 x matrix2^T
+        # only — no same-corpus pairs, and the auto threshold is Otsu
+        # over those rectangular nonzero cells once each (no doubling,
+        # no 1.0 diagonal — the inter dist_mat has neither).
+        from .similarity import (
+            cosine_pairs_inter,
+            otsu_threshold_distributed,
+            tfidf_normalized_inter,
+        )
+
+        p1 = index.postings.filter(F.col("doc_id") < inter_n1)
+        p2 = index.postings.filter(F.col("doc_id") >= inter_n1)
+        w1, w2 = tfidf_normalized_inter(p1, p2, index.stats.n_docs)
+        pairs = cosine_pairs_inter(w1, w2).persist()
+        if str(args.similarity_threshold).lower() == "auto":
+            threshold = otsu_threshold_distributed(pairs.select("score"))
+            print(f"auto threshold (Otsu, inter rectangular): {threshold:.4f}")
+        else:
+            threshold = float(args.similarity_threshold)
 
     sim_path = os.path.join(args.output_dir, "sim_pairs.parquet")
     pairs.write.mode("overwrite").parquet(sim_path)

@@ -28,7 +28,14 @@ def save_artifacts(artifacts: CorpusArtifacts, path: str) -> None:
         "bpe": artifacts.bpe.to_dict() if artifacts.bpe else None,
         "encoder": artifacts.encoder,
         "vocab_size": artifacts.vocab_size,
+        "n_vocab": artifacts.n_vocab,
     }
+    if artifacts.encoder is None:
+        raise ValueError(
+            "distributed-encoder artifacts (vocab > max_collect_vocab) "
+            "persist their vocab as a table, not JSON — write "
+            "artifacts.encoder_df to the warehouse instead"
+        )
     with open(path, "w", encoding="utf-8") as f:
         json.dump(payload, f)
 
@@ -38,9 +45,11 @@ def load_artifacts(path: str) -> CorpusArtifacts:
         payload = json.load(f)
     norm = NormArtifacts(**payload["norm"])
     bpe = BpeModel.from_dict(payload["bpe"]) if payload["bpe"] else None
+    encoder = {k: int(v) for k, v in payload["encoder"].items()}
     return CorpusArtifacts(
         norm=norm,
         bpe=bpe,
-        encoder={k: int(v) for k, v in payload["encoder"].items()},
+        encoder=encoder,
         vocab_size=int(payload["vocab_size"]),
+        n_vocab=int(payload.get("n_vocab", len(encoder))),
     )

@@ -37,10 +37,16 @@ class FlameConfig:
     block_size: int = C.BLOCK_SIZE
     n_shards: int = 32  # doc-range shards for segment build/query
     # artifact learning cap: max docs (in (doc_id) order) used to train
-    # BPE + adaptive char rules on the driver. None = whole corpus
-    # (small-scale tests); at 100 TB set a cap — the trained artifacts
-    # are corpus-level hyperparameters, not per-row state.
-    learn_sample_docs: int | None = None
+    # BPE + adaptive char rules on the driver. The trained artifacts are
+    # corpus-level hyperparameters, not per-row state, so a bounded
+    # deterministic sample is the scale-safe DEFAULT (100k docs); set
+    # None explicitly to train on the whole corpus (reference parity on
+    # small corpora — identical below the cap since sample == corpus).
+    learn_sample_docs: int | None = 100_000
+    # word-mode encoder collect cap: above this many distinct tokens
+    # the token->id mapping stays distributed (corpus.build_vocab_df /
+    # encode_tokens_joined) instead of a driver collect+broadcast.
+    max_collect_vocab: int = 1_000_000
 
     def validate(self) -> None:
         if self.ngram - self.n_out < 1:

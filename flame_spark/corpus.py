@@ -189,12 +189,54 @@ def make_bpe_tokenize_udf(model_bc):
     return bpe_tokenize
 
 
+def _hash_windows_flat(
+    ids: np.ndarray, doc_of_tok: np.ndarray, n_rows: int,
+    n_vocab: int, ngram: int, n_out: int,
+) -> list[list[int]]:
+    """Shared LNO hashing core over a FLATTENED id stream: vectorized
+    Mersenne-61 passes per keep-combination, cross-document windows
+    masked out, results re-split per doc. No per-row Python loop."""
+    from itertools import combinations
+
+    from .hashing import mulmod61, powmod61, _reduce61
+
+    keep = ngram - n_out
+    out_lists: list[list[int]] = [[] for _ in range(n_rows)]
+    n_tok = ids.size
+    if n_tok >= ngram:
+        win = np.lib.stride_tricks.sliding_window_view(ids, ngram)
+        win_doc = doc_of_tok[: n_tok - ngram + 1]
+        valid = win_doc == doc_of_tok[ngram - 1 :]
+        vwin = win[valid].astype(np.uint64)
+        vdoc = win_doc[valid]
+        if vdoc.size:
+            combo_hashes = []
+            for combo in combinations(range(ngram), keep):
+                acc = np.zeros(vdoc.size, dtype=np.uint64)
+                for p, c in enumerate(combo):
+                    power = np.uint64(powmod61(n_vocab, p))
+                    acc = _reduce61(acc + mulmod61(power, vwin[:, c]))
+                combo_hashes.append(acc.astype(np.int64))
+            all_h = np.concatenate(combo_hashes)
+            all_d = np.tile(vdoc, len(combo_hashes))
+            order = np.argsort(all_d, kind="stable")
+            all_h = all_h[order]
+            counts = np.bincount(all_d, minlength=n_rows)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            for r in range(n_rows):
+                if counts[r]:
+                    out_lists[r] = all_h[offsets[r] : offsets[r + 1]].tolist()
+    return out_lists
+
+
 def make_shingle_udf(encoder_bc, ngram: int, n_out: int):
     """Batch-vectorized LNO shingle: the whole Arrow batch is flattened
     to one token array, encoded with ONE searchsorted against the
-    sorted vocab (unknowns dropped, flame.py:686-687), and hashed with
-    ONE set of vectorized Mersenne-61 passes per keep-combination —
-    cross-document windows masked out. No per-row Python loop.
+    sorted vocab (unknowns dropped, flame.py:686-687), and hashed via
+    ``_hash_windows_flat``. Requires the driver-collected encoder dict —
+    the bounded-vocab path (BPE, or word mode under
+    ``cfg.max_collect_vocab``); the unbounded-vocab path uses
+    ``make_shingle_from_ids_udf`` over join-encoded ids instead.
 
     Feature ORDER within a row differs from the reference's combo-major
     concat (here: window-major per combo block across the batch, then
@@ -204,10 +246,6 @@ def make_shingle_udf(encoder_bc, ngram: int, n_out: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def shingle(tokens: pd.Series) -> pd.Series:
-        from itertools import combinations
-
-        from .hashing import mulmod61, powmod61, _reduce61
-
         encoder: dict[str, int] = encoder_bc.value
         V = len(encoder)
         keep = ngram - n_out
@@ -235,37 +273,69 @@ def make_shingle_udf(encoder_bc, ngram: int, n_out: int):
         known = vocab_arr[pos_c] == flat
         doc_of_tok = np.repeat(np.arange(n_rows), lens)[known]
         ids = vocab_ids[pos_c[known]]
-
-        # per-doc known-token counts -> window validity mask
-        klens = np.bincount(doc_of_tok, minlength=n_rows)
-        n_tok = ids.size
-        out_lists: list[list[int]] = [[] for _ in range(n_rows)]
-        if n_tok >= ngram:
-            win = np.lib.stride_tricks.sliding_window_view(ids, ngram)
-            win_doc = doc_of_tok[: n_tok - ngram + 1]
-            valid = win_doc == doc_of_tok[ngram - 1 :]
-            vwin = win[valid].astype(np.uint64)
-            vdoc = win_doc[valid]
-            if vdoc.size:
-                combo_hashes = []
-                for combo in combinations(range(ngram), keep):
-                    acc = np.zeros(vdoc.size, dtype=np.uint64)
-                    for p, c in enumerate(combo):
-                        power = np.uint64(powmod61(V, p))
-                        acc = _reduce61(acc + mulmod61(power, vwin[:, c]))
-                    combo_hashes.append(acc.astype(np.int64))
-                all_h = np.concatenate(combo_hashes)
-                all_d = np.tile(vdoc, len(combo_hashes))
-                order = np.argsort(all_d, kind="stable")
-                all_h = all_h[order]
-                counts = np.bincount(all_d, minlength=n_rows)
-                offsets = np.concatenate([[0], np.cumsum(counts)])
-                for r in range(n_rows):
-                    if counts[r]:
-                        out_lists[r] = all_h[offsets[r] : offsets[r + 1]].tolist()
-        return pd.Series(out_lists)
+        return pd.Series(_hash_windows_flat(ids, doc_of_tok, n_rows, V, ngram, n_out))
 
     return shingle
+
+
+def make_shingle_from_ids_udf(n_vocab: int, ngram: int, n_out: int):
+    """LNO shingle over PRE-ENCODED token ids (``array<long>``) — the
+    unbounded-vocabulary path: no vocab dict ships to executors, only
+    the scalar vocab size (the rolling-hash base). Same hashing core as
+    ``make_shingle_udf``, so outputs are identical for identical ids."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingle_ids(id_lists: pd.Series) -> pd.Series:
+        keep = ngram - n_out
+        n_rows = len(id_lists)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
+        if n_vocab == 0 or keep < 1:
+            return pd.Series([[] for _ in range(n_rows)])
+        arrs = id_lists.to_numpy()
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=n_rows
+        )
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
+        ) if lens.sum() else np.array([], dtype=np.int64)
+        doc_of_tok = np.repeat(np.arange(n_rows), lens)
+        return pd.Series(
+            _hash_windows_flat(flat, doc_of_tok, n_rows, n_vocab, ngram, n_out)
+        )
+
+    return shingle_ids
+
+
+def build_vocab_df(docs: DataFrame, token_col: str = "tokens") -> DataFrame:
+    """(tok, tid) with tid = dense rank of the token in global sorted
+    order — the distributed equivalent of the collected encoder dict
+    (flame.py:680-684), built with the same two-phase range-partition
+    ranking as ``add_doc_id``: no single-reducer sort, no driver
+    collect. Safe at any vocabulary size."""
+    distinct = docs.select(F.explode(token_col).alias("tok")).distinct()
+    return add_doc_id(distinct, ["tok"]).withColumnRenamed("doc_id", "tid")
+
+
+def encode_tokens_joined(docs: DataFrame, vocab_df: DataFrame) -> DataFrame:
+    """+ ``token_ids: array<long>`` — join-based token encode for
+    unbounded vocabularies: posexplode -> equi-join on token ->
+    re-assemble in position order. Three shuffles, all linear in token
+    count; nothing corpus-sized touches the driver."""
+    pos = docs.select("doc_id", F.posexplode("tokens").alias("pos", "tok"))
+    ids = pos.join(vocab_df, "tok").select("doc_id", "pos", "tid")
+    arr = (
+        ids.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.transform("ps", lambda s: s["tid"].cast("long")).alias("token_ids"),
+        )
+    )
+    return docs.join(arr, "doc_id", "left").withColumn(
+        "token_ids",
+        F.coalesce(F.col("token_ids"), F.array().cast("array<long>")),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -315,8 +385,23 @@ def distributed_lost_chars(df: DataFrame, text_col: str, alphabet: str, unknown_
 class CorpusArtifacts:
     norm: NormArtifacts
     bpe: BpeModel | None
-    encoder: dict[str, int]
+    # token -> dense id. None when the vocabulary exceeded
+    # cfg.max_collect_vocab (word mode at scale): then encoder_df holds
+    # the same mapping distributed and n_vocab its size.
+    encoder: dict[str, int] | None
     vocab_size: int
+    encoder_df: object | None = None  # DataFrame(tok, tid) in joined mode
+    n_vocab: int = 0
+
+    def lookup_ids(self, tokens: list[str]) -> dict[str, int]:
+        """token -> id for a BOUNDED token list (e.g. one query's
+        tokens): dict lookup when collected, filtered collect from the
+        distributed vocab otherwise — never a full-vocab collect."""
+        if self.encoder is not None:
+            return {t: self.encoder[t] for t in tokens if t in self.encoder}
+        want = list({t for t in tokens})
+        rows = self.encoder_df.filter(F.col("tok").isin(want)).collect()
+        return {r["tok"]: int(r["tid"]) for r in rows}
 
 
 def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
@@ -415,16 +500,41 @@ def prepare_docs(
     docs = docs.persist()
 
     # encoder: sorted distinct tokens -> dense ids (flame.py:680-684).
-    # Bounded by the BPE vocab -> safe to collect at any corpus size.
-    distinct_tokens = [
-        r["tok"]
-        for r in docs.select(F.explode("tokens").alias("tok")).distinct().collect()
-    ]
+    # In BPE mode the vocabulary is bounded by the trained vocab, so a
+    # driver collect is O(vocab) at any corpus size. In word mode the
+    # vocabulary grows with the corpus: collect ONLY when the distinct
+    # count is under cfg.max_collect_vocab, else keep the mapping
+    # distributed (encoder_df) and encode via join (add_features).
+    encoder = None
+    encoder_df = None
+    distinct_df = docs.select(F.explode("tokens").alias("tok")).distinct()
+    if cfg.tokenizer == "bpe":
+        # bounded by the trained vocab: one collect job, any corpus size
+        distinct_tokens = [r["tok"] for r in distinct_df.collect()]
+    else:
+        # word mode: probe with LIMIT cap+1 — one job, bounded driver
+        # memory. A full result means we saw the whole vocabulary.
+        probe = distinct_df.limit(cfg.max_collect_vocab + 1).collect()
+        distinct_tokens = (
+            [r["tok"] for r in probe]
+            if len(probe) <= cfg.max_collect_vocab
+            else None
+        )
+    if distinct_tokens is not None:
+        encoder = {t: i for i, t in enumerate(sorted(distinct_tokens))}
+        n_vocab = len(encoder)
+    else:
+        # vocabulary exceeds the collect cap: keep it distributed
+        distinct_df = distinct_df.persist()
+        n_vocab = distinct_df.count()
+        encoder_df = add_doc_id(distinct_df, ["tok"]).withColumnRenamed(
+            "doc_id", "tid"
+        ).persist()
     stage1_cached.unpersist()
-    encoder = {t: i for i, t in enumerate(sorted(distinct_tokens))}
 
     artifacts = CorpusArtifacts(
-        norm=art0, bpe=bpe_model, encoder=encoder, vocab_size=vocab_size
+        norm=art0, bpe=bpe_model, encoder=encoder, vocab_size=vocab_size,
+        encoder_df=encoder_df, n_vocab=n_vocab,
     )
     return docs, artifacts
 
@@ -432,8 +542,19 @@ def prepare_docs(
 def add_features(
     docs: DataFrame, artifacts: CorpusArtifacts, cfg: FlameConfig
 ) -> DataFrame:
-    """+ ``features: array<long>`` — LNO-gram hashes (T5)."""
+    """+ ``features: array<long>`` — LNO-gram hashes (T5).
+
+    Collected-encoder mode broadcasts the dict into one Arrow pass;
+    joined mode (vocab > cfg.max_collect_vocab) encodes by join and
+    hashes the id arrays — identical features either way (same sorted
+    dense-rank ids, same hashing core)."""
     sc = docs.sparkSession.sparkContext
-    encoder_bc = sc.broadcast(artifacts.encoder)
-    shingle = make_shingle_udf(encoder_bc, cfg.ngram, cfg.n_out)
-    return docs.withColumn("features", shingle(F.col("tokens")))
+    if artifacts.encoder is not None:
+        encoder_bc = sc.broadcast(artifacts.encoder)
+        shingle = make_shingle_udf(encoder_bc, cfg.ngram, cfg.n_out)
+        return docs.withColumn("features", shingle(F.col("tokens")))
+    with_ids = encode_tokens_joined(docs, artifacts.encoder_df)
+    shingle_ids = make_shingle_from_ids_udf(artifacts.n_vocab, cfg.ngram, cfg.n_out)
+    return with_ids.withColumn("features", shingle_ids(F.col("token_ids"))).drop(
+        "token_ids"
+    )

@@ -128,10 +128,14 @@ def query_terms_local(
             import re
 
             toks = [x for x in re.split(r"[^a-z0-9]+", t) if x]
-        ids = [art.encoder[x] for x in toks if x in art.encoder]
+        # bounded lookup: dict when collected, filtered collect from the
+        # distributed vocab otherwise (only THIS query's tokens move)
+        enc = art.lookup_ids(toks)
+        ids = [enc[x] for x in toks if x in enc]
         if cfg.term_mode == "lno":
             terms = lno_gram_hashes(
-                np.array(ids, dtype=np.int64), len(art.encoder), cfg.ngram, cfg.n_out
+                np.array(ids, dtype=np.int64), art.n_vocab or len(enc),
+                cfg.ngram, cfg.n_out
             ).tolist()
         else:
             terms = toks
@@ -176,9 +180,20 @@ def query_terms_df(
             F.filter(F.split(F.col("t"), "[^a-z0-9]+"), lambda x: x != ""),
         )
     if cfg.term_mode == "lno":
-        encoder_bc = sc.broadcast(art.encoder)
-        shingle = make_shingle_udf(encoder_bc, cfg.ngram, cfg.n_out)
-        qdf = qdf.withColumn("terms", shingle(F.col("tokens")))
+        if art.encoder is not None:
+            encoder_bc = sc.broadcast(art.encoder)
+            shingle = make_shingle_udf(encoder_bc, cfg.ngram, cfg.n_out)
+            qdf = qdf.withColumn("terms", shingle(F.col("tokens")))
+        else:
+            # distributed-vocab mode: join-encode the query tokens, then
+            # hash the id arrays (vocab never leaves the cluster)
+            from .corpus import encode_tokens_joined, make_shingle_from_ids_udf
+
+            qdf = qdf.withColumnRenamed("query_id", "doc_id")
+            qdf = encode_tokens_joined(qdf, art.encoder_df)
+            shingle_ids = make_shingle_from_ids_udf(art.n_vocab, cfg.ngram, cfg.n_out)
+            qdf = qdf.withColumn("terms", shingle_ids(F.col("token_ids")))
+            qdf = qdf.withColumnRenamed("doc_id", "query_id")
     else:
         qdf = qdf.withColumn("terms", F.col("tokens"))
     return qdf.select("query_id", "terms")

@@ -261,20 +261,25 @@ SELECT doc_id, shingle, count(*)::BIGINT AS tf FROM sh GROUP BY doc_id, shingle
 
 
 def q_lno31_postings(spark, sf_dir):
-    from .corpus import make_shingle_udf
+    """LNO postings via the UNBOUNDED-vocab path: distributed dense-rank
+    vocab (no driver collect), join-based token encode, id-array
+    hashing — the shape that survives word-mode at 100 TB. The gate
+    proves it equals the DuckDB rank-over-sorted-distinct oracle."""
+    from .corpus import (
+        build_vocab_df,
+        encode_tokens_joined,
+        make_shingle_from_ids_udf,
+    )
     from .postings import build_postings
 
     docs = _docs(spark, sf_dir).withColumn(
         "tokens", word_tokens_col(F.col("text"))
-    )
-    vocab = sorted(
-        r["tok"]
-        for r in docs.select(F.explode("tokens").alias("tok")).distinct().collect()
-    )
-    encoder = {t: i for i, t in enumerate(vocab)}
-    enc_bc = spark.sparkContext.broadcast(encoder)
-    shingle = make_shingle_udf(enc_bc, 3, 1)
-    feats = docs.withColumn("features", shingle(F.col("tokens")))
+    ).persist()
+    vocab_df = build_vocab_df(docs).persist()
+    n_vocab = vocab_df.count()
+    with_ids = encode_tokens_joined(docs, vocab_df)
+    shingle = make_shingle_from_ids_udf(n_vocab, 3, 1)
+    feats = with_ids.withColumn("features", shingle(F.col("token_ids")))
     return build_postings(feats, "features").select(
         "doc_id", "term", F.col("tf").cast("long").alias("tf")
     )
@@ -1016,11 +1021,18 @@ def q_stream_events_window(spark, sf_dir):
     import os
     import shutil
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    # key the staged copy by source identity AND content version
+    # (mtime+size) so a regenerated events table is re-staged, never
+    # silently served stale
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:8]
     stage_dir = f"/tmp/flame_stream_events_{tag}"
     if not os.path.isdir(stage_dir):
         os.makedirs(stage_dir, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet", stage_dir)
+        shutil.copy(src, stage_dir)
 
     from .streaming import windowed_event_counts
 

@@ -18,6 +18,14 @@ Determinism: norms and pair scores use fixed-order summation
 (contributions sorted by term, left fold) so results are bit-identical
 across partitionings and match the NumPy oracle.
 
+Stated dtype deviation from the reference: flame.py builds its
+doc-feature matrices as float32 (create_sparse_matrix dtype=np.float32),
+so reference TF-IDF/cosine/Otsu values are float32; this pipeline (and
+its in-repo NumPy oracle) computes float64 throughout. Parity is
+bit-exact against the float64 oracle, and agrees with an actual
+float32 reference run only to ~1e-7 — same spirit as the documented
+'\\n'-join histogram note in normalize.py.
+
 Scale: the term self-join is the one genuinely quadratic-risk stage;
 AQE skew-join splitting is enabled in the session and extremely hot
 terms can be excluded via ``max_df_fraction`` (a documented engine

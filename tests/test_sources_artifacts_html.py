@@ -91,3 +91,47 @@ def test_html_chunking(spark, tmp_path):
         open(f, encoding="utf-8").read().count('class="pair"') for f in files
     )
     assert total_pairs == 66
+
+
+def test_cli_inter_mode_rectangular(tmp_path):
+    """--input_path2 must produce ONLY cross-corpus pairs (the reference
+    computes matrix1 x matrix2^T, flame.py:793-801) — no same-corpus
+    pairs, no diagonal. Runs the real CLI in a subprocess."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    d1 = tmp_path / "c1"
+    d2 = tmp_path / "c2"
+    d1.mkdir()
+    d2.mkdir()
+    shared = "in nomine sancte et individue trinitatis amen dico vobis "
+    (d1 / "a.txt").write_text(shared * 4 + "unus duo tres quattuor " * 3)
+    (d1 / "b.txt").write_text("notum sit omnibus presentibus et futuris " * 6)
+    (d2 / "x.txt").write_text(shared * 4 + "quinque sex septem octo " * 3)
+    (d2 / "y.txt").write_text("salutem dico gratiam plenam vobis hodie " * 6)
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "flame_spark",
+            "--input_path", str(d1), "--input_path2", str(d2),
+            "--ngram", "3", "--min_text_length", "40",
+            "--vocab_size", "300", "--no_reports",
+            "--output_dir", str(out), "--cpus", "2",
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "inter-comparison mode" in r.stdout
+    rows = duckdb.sql(
+        f"SELECT doc_i, doc_j, score FROM '{out}/sim_pairs.parquet/*.parquet'"
+    ).fetchall()
+    assert rows  # the planted shared passage must produce pairs
+    n1 = 2  # corpus1 has two docs: ids 0,1; corpus2 ids 2,3
+    for doc_i, doc_j, score in rows:
+        assert doc_i < n1 <= doc_j, (doc_i, doc_j)
+        assert 0.0 < score <= 1.0 + 1e-12
+    # the shared-passage pair must be the strongest
+    best = max(rows, key=lambda t: t[2])
+    assert (best[0], best[1]) == (0, 2)
