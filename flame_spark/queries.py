@@ -285,8 +285,9 @@ def q_lno31_postings(spark, sf_dir):
     )
 
 
-SQL_LNO31_POSTINGS = f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+# shared CTE chain: documents -> word tokens -> dense-rank vocab ->
+# token ids -> LNO(3,1) trigram-combination hashes (mod 2^61-1)
+_LNO_CTES = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
 tok_rows AS (
   SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos FROM toks
 ),
@@ -313,8 +314,92 @@ feats AS (
   SELECT doc_id, ((t0 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM trip
   UNION ALL
   SELECT doc_id, ((t1 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM trip
-)
+)"""
+
+SQL_LNO31_POSTINGS = f"""
+WITH {_LNO_CTES}
 SELECT doc_id, term, count(*)::BIGINT AS tf FROM feats GROUP BY doc_id, term
+"""
+
+
+def _sql_wand_lno():
+    """Oracle twin for the block-max WAND engine path: exhaustive BM25
+    over the LNO(3,1) term space — WAND pruning must return exactly
+    this (it is score-identical to the exhaustive scorer by design, so
+    the SQL checks the ENTIRE engine path: normalize -> vocab -> LNO
+    hashes -> postings -> segments -> WAND top-k)."""
+    vals = []
+    for qid, qtext in BM25_QUERIES:
+        for i, t in enumerate(_qtoks(qtext)):
+            vals.append(f"('{qid}', {i}, '{t}')")
+    values = ",\n    ".join(vals)
+    return f"""
+WITH {_LNO_CTES},
+p AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM feats GROUP BY doc_id, term),
+dl AS (SELECT doc_id, (3 * greatest(len(tk) - 2, 0))::DOUBLE AS dl FROM toks),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY term),
+qtok(query_id, qpos, tok) AS (VALUES
+    {values}),
+qids AS (SELECT q.query_id, q.qpos, vocab.tid FROM qtok q JOIN vocab USING (tok)),
+qseq AS (
+  SELECT query_id, tid::HUGEINT AS tid,
+         row_number() OVER (PARTITION BY query_id ORDER BY qpos) AS rn
+  FROM qids
+),
+qtrip AS (
+  SELECT a.query_id, a.tid AS t0, b.tid AS t1, c.tid AS t2
+  FROM qseq a
+  JOIN qseq b ON b.query_id = a.query_id AND b.rn = a.rn + 1
+  JOIN qseq c ON c.query_id = a.query_id AND c.rn = a.rn + 2
+),
+qfeats AS (
+  SELECT query_id, ((t0 + (SELECT v FROM vc) * t1) % {MOD})::BIGINT AS term FROM qtrip
+  UNION ALL
+  SELECT query_id, ((t0 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM qtrip
+  UNION ALL
+  SELECT query_id, ((t1 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM qtrip
+),
+q AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qfeats GROUP BY query_id, term),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * (ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+           * (p.tf * ({BM25_K1} + 1.0)
+              / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN dfr USING (term)
+  JOIN p USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+SQL_WAND_TOPK_LNO = _sql_wand_lno()
+
+# fixture-parquet value oracles (generated by tools/gen_fixture_oracles.py)
+_FIXDIR = "/root/repo/tests/fixtures"
+
+SQL_MM_IMAGE_FEATURES = (
+    "SELECT media_id, n_features, mean_feature "
+    f"FROM '{_FIXDIR}/mm_image_features_expected.parquet'"
+)
+
+SQL_AUTOTUNE_GRID = f"""
+WITH d AS (
+  SELECT md5(string_agg(text, '' ORDER BY doc_id)) AS corpus_md5
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 30)
+)
+SELECT best_ngram, best_n_out, snr
+FROM '{_FIXDIR}/autotune_expected.parquet' JOIN d USING (corpus_md5)
 """
 
 
@@ -1202,4 +1287,13 @@ ORACLE_SQL = {
     # the streaming variant must equal the batch aggregation, so it
     # shares the batch oracle — Structured Streaming under the gate
     "stream_events_window5m": SQL_EVENTS_WINDOW,
+    # the WAND engine path is score-identical to exhaustive BM25, so
+    # the full normalize->LNO->segments->WAND chain gets a value oracle
+    "wand_topk_lno": SQL_WAND_TOPK_LNO,
+    # deterministic engine paths with committed fixture-parquet oracles
+    # (tools/gen_fixture_oracles.py): mm features are seeded constants;
+    # the autotune row is keyed by a live digest of its 30-doc sample,
+    # so a changed corpus produces a visible mismatch, never stale pass
+    "mm_image_features": SQL_MM_IMAGE_FEATURES,
+    "autotune_grid": SQL_AUTOTUNE_GRID,
 }
