@@ -152,14 +152,27 @@ def make_canon_stage1_udf(bigram_rules: dict[str, str] | None):
 
     rules = dict(bigram_rules) if bigram_rules else None
 
+    import re as _re
+
+    mufi_any = "[" + "".join(map(_re.escape, ONE_TO_MANY)) + "]"
+
     @F.pandas_udf("text string, stage1 string")
     def canon_stage1(s: pd.Series) -> pd.DataFrame:
         canon = (
             s.fillna("").str.strip().str.replace(r"\s+", " ", regex=True)
         )
         st1 = canon.str.lower()
-        for src, dst in ONE_TO_MANY.items():
-            st1 = st1.str.replace(src, dst, regex=False)
+        # each .str.replace is a full pass over text; MUFI sources are
+        # non-ASCII, so ONE membership pass finds the affected rows and
+        # the 11 fold passes run on that subset only — on mostly-ASCII
+        # corpora this cuts the normalize stage's memory traffic ~3x
+        mask = st1.str.contains(mufi_any, regex=True)
+        if mask.any():
+            sub = st1[mask]
+            for src, dst in ONE_TO_MANY.items():
+                sub = sub.str.replace(src, dst, regex=False)
+            st1 = st1.copy()
+            st1[mask] = sub
         if rules:
             for src, dst in rules.items():
                 st1 = st1.str.replace(src, dst, regex=False)
@@ -418,13 +431,23 @@ def docs_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def prepare_docs(
-    df: DataFrame, cfg: FlameConfig
+    df: DataFrame, cfg: FlameConfig, artifacts: CorpusArtifacts | None = None
 ) -> tuple[DataFrame, CorpusArtifacts]:
     """docs(doc_id, text) -> docs(doc_id, norm_text, tokens) + artifacts.
 
     Reproduces the reference preprocessing order end-to-end
     (flame.py:416-580). ``df`` must have columns (doc_id, text).
+
+    Pass ``artifacts`` to run with PINNED artifacts (a persisted model,
+    artifacts_io.load_artifacts — the reference's S10 reuse path, and
+    the incremental indexer's append path): every learning step
+    (lost-char rules, BPE training, encoder collection) is skipped and
+    the pinned state applies verbatim. Tokens outside the pinned
+    encoder later drop from the LNO windows exactly like the
+    reference's unknown handling (flame.py:686-687).
     """
+    if artifacts is not None:
+        return _prepare_docs_pinned(df, cfg, artifacts), artifacts
     cfg.validate()
     spark = df.sparkSession
     sc = spark.sparkContext
@@ -537,6 +560,44 @@ def prepare_docs(
         encoder_df=encoder_df, n_vocab=n_vocab,
     )
     return docs, artifacts
+
+
+def _prepare_docs_pinned(
+    df: DataFrame, cfg: FlameConfig, artifacts: CorpusArtifacts
+) -> DataFrame:
+    """The scan pipeline with every artifact pinned (no learning jobs):
+    canon+stage1 -> min-length filter -> LUT(s) -> tokenize. One Arrow
+    chain, zero driver collects."""
+    cfg.validate()
+    sc = df.sparkSession.sparkContext
+    canon_stage1 = make_canon_stage1_udf(
+        artifacts.norm.bigram_rules if cfg.bigram_enabled else None
+    )
+    docs = df.select("doc_id", canon_stage1(F.col("text")).alias("cs")).select(
+        "doc_id", F.col("cs.text").alias("text"), F.col("cs.stage1").alias("stage1")
+    )
+    docs = docs.filter(F.length("text") >= cfg.min_text_length)
+    if cfg.keep_texts is not None:
+        docs = docs.filter(F.col("doc_id") < cfg.keep_texts)
+    lut_udf = make_lut_udf(sc.broadcast(artifacts.norm.main_lut()))
+    docs = docs.withColumn("norm_text", lut_udf(F.col("stage1")))
+    plut = artifacts.norm.phonetic_lut()
+    if plut is not None:
+        docs = docs.withColumn(
+            "norm_text", make_lut_udf(sc.broadcast(plut))(F.col("norm_text"))
+        )
+    docs = docs.drop("stage1")
+    if cfg.tokenizer == "bpe":
+        docs = docs.withColumn(
+            "tokens",
+            make_bpe_tokenize_udf(sc.broadcast(artifacts.bpe))(F.col("norm_text")),
+        )
+    else:
+        docs = docs.withColumn(
+            "tokens",
+            F.filter(F.split(F.col("norm_text"), "[^a-z0-9]+"), lambda x: x != ""),
+        )
+    return docs.persist()
 
 
 def add_features(

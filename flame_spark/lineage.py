@@ -118,8 +118,16 @@ class SegmentWarehouse:
         spark = postings_scored.sparkSession
         done = self.completed_shards(spark, input_snapshot)
         span = shard_span(n_docs, n_shards)
+        # doc ids are dense over RAW rows while n_docs counts
+        # filtered-in docs, so the top ids can spill past
+        # n_shards * span — cover every shard actually present (same
+        # shard function build_segments applies)
+        max_doc = postings_scored.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        n_shards_present = max(
+            n_shards, (int(max_doc) // span) + 1 if max_doc is not None else 0
+        )
         built = 0
-        for shard in range(n_shards):
+        for shard in range(n_shards_present):
             if shard in done:
                 continue
             shard_t0 = time.time()

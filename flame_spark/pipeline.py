@@ -54,12 +54,15 @@ class FlameIndex:
     postings_dl: DataFrame  # term, doc_id, tf, dl (scoring-ready)
 
 
-def build_index(raw_docs: DataFrame, cfg: FlameConfig) -> FlameIndex:
+def build_index(
+    raw_docs: DataFrame, cfg: FlameConfig, artifacts=None
+) -> FlameIndex:
     """raw_docs(doc_id, text) -> fully prepared index state.
 
     One shuffle for TF, one for doc-length attach; stats are small
     aggregates. All intermediates cached because both query paths and
-    the pairwise path reuse them.
+    the pairwise path reuse them. Pass ``artifacts`` (a persisted
+    model) to index with PINNED artifacts — no learning jobs run.
     """
     # make sure the scan-side UDF stages have enough partitions to use
     # every core (input may arrive as a handful of files/partitions)
@@ -68,7 +71,7 @@ def build_index(raw_docs: DataFrame, cfg: FlameConfig) -> FlameIndex:
     if raw_docs.rdd.getNumPartitions() < target_parts:
         raw_docs = raw_docs.repartition(target_parts)
 
-    docs, artifacts = prepare_docs(raw_docs, cfg)
+    docs, artifacts = prepare_docs(raw_docs, cfg, artifacts)
     term_col = "features" if cfg.term_mode == "lno" else "tokens"
     if cfg.term_mode == "lno":
         docs = add_features(docs, artifacts, cfg)
@@ -91,18 +94,17 @@ def build_index(raw_docs: DataFrame, cfg: FlameConfig) -> FlameIndex:
     )
 
 
-def query_terms_local(
-    spark: SparkSession, queries: list[dict], index: FlameIndex
-) -> DataFrame:
+def query_term_rows(queries: list[dict], index) -> list[tuple]:
     """Driver-side query processing (the serving fast path).
 
     Queries are tiny; running the normalize/tokenize/shingle pipeline as
     Spark UDF stages costs several job round-trips per request. This
     path computes the SAME functions (normalize.py / bpe.py /
-    hashing.py — the code the executors run) in-process and ships the
-    resulting (query_id, term, qtf) rows directly. Rank-identity is
-    preserved by construction; the distributed path remains for bulk
-    query sets (``query_terms_df``).
+    hashing.py — the code the executors run) in-process and returns the
+    (query_id, term, qtf) rows directly. Rank-identity is preserved by
+    construction; the distributed path remains for bulk query sets
+    (``query_terms_df``). ``index`` needs .cfg and .artifacts
+    (FlameIndex or fastbuild.ServingIndex).
     """
     import numpy as np
 
@@ -143,7 +145,16 @@ def query_terms_local(
         for f in terms:
             qtf[f] = qtf.get(f, 0) + 1
         rows.extend((q["query_id"], f, int(c)) for f, c in qtf.items())
-    term_type = "long" if cfg.term_mode == "lno" else "string"
+    return rows
+
+
+def query_terms_local(
+    spark: SparkSession, queries: list[dict], index
+) -> DataFrame:
+    """``query_term_rows`` shipped as a DataFrame for the distributed
+    scorers."""
+    rows = query_term_rows(queries, index)
+    term_type = "long" if index.cfg.term_mode == "lno" else "string"
     return spark.createDataFrame(
         rows, f"query_id string, term {term_type}, qtf int"
     )
@@ -248,6 +259,31 @@ def wand_bm25_topk(
 
     qterms = query_terms_local(spark, queries, index)
     return wand_topk(qterms, segments, k, index.cfg.block_size)
+
+
+def wand_bm25_serve(
+    queries: list[dict],
+    index,
+    segments_sharded: DataFrame,
+    k: int = 10,
+) -> list[tuple]:
+    """Low-latency serving top-k: driver-side query pipeline + ONE
+    Spark stage per query over the shard-partitioned segment cache
+    (wand.wand_topk_serve) + driver merge. Identical results to
+    ``wand_bm25_topk`` (tested). ``index`` is a FlameIndex or
+    fastbuild.ServingIndex; ``segments_sharded`` comes from
+    wand.segments_for_serving. Returns
+    [(query_id, rank, doc_id, score), ...]."""
+    from .wand import wand_topk_serve
+
+    rows = query_term_rows(queries, index)
+    out: list[tuple] = []
+    for q in queries:
+        qid = q["query_id"]
+        qrows = [(t, c) for rqid, t, c in rows if rqid == qid]
+        res = wand_topk_serve(qrows, segments_sharded, k, index.cfg.block_size)
+        out.extend((qid, r, d, s) for r, d, s in res)
+    return out
 
 
 def pairwise_similarity(index: FlameIndex) -> DataFrame:

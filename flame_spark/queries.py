@@ -385,6 +385,106 @@ FROM ranked WHERE rank <= {BM25_K}
 
 SQL_WAND_TOPK_LNO = _sql_wand_lno()
 
+# ---------------------------------------------------------------------------
+# incremental merge: initial build on doc_id < INC_SPLIT, stream-append
+# the rest, merge — the merged segment structure must equal computing
+# the pinned-vocab LNO postings over the union in SQL
+# ---------------------------------------------------------------------------
+
+INC_SPLIT = 350
+INC_SHARDS = 8
+
+
+def q_incremental_merge(spark, sf_dir):
+    """Runs the REAL incremental path (warehouse, lineage, pinned
+    artifacts, OOV-drop) over the documents table treated as 1-turn
+    conversations; returns the merged segments' structural columns.
+    Scores are byte-checked against a full rebuild in pytest
+    (tests/test_incremental.py); the SQL twin checks the posting
+    structure (shard, n_docs, doc ranges) end to end."""
+
+    def build():
+        import tempfile
+
+        from .config import FlameConfig
+        from .incremental import IncrementalIndexer
+
+        raw = _docs(spark, sf_dir).select(
+            F.format_string("c%08d", F.col("doc_id").cast("int")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        cfg = FlameConfig(
+            ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+            term_mode="lno", n_shards=INC_SHARDS,
+        )
+        split_key = f"c{INC_SPLIT:08d}"
+        root = tempfile.mkdtemp(prefix="flame_inc_gate_")
+        idx = IncrementalIndexer(root, cfg)
+        idx.initial_build(raw.filter(F.col("conv_id") < split_key))
+        idx.ingest(raw.filter(F.col("conv_id") >= split_key), on_oov="drop")
+        segs = idx.merge_segments(spark)
+        return segs.select(
+            F.col("shard").cast("long").alias("shard"),
+            "term",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "first_doc",
+            "last_doc",
+        ).persist()
+
+    return _memo(spark, sf_dir, "incremental_merge", build)
+
+
+# pinned-vocab LNO postings in SQL: the vocabulary (and hash base) come
+# from the INITIAL corpus only; unknown tokens drop and positions close
+# ranks before windowing — flame.py:686-687 semantics
+SQL_INCREMENTAL_MERGE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tok_rows AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos FROM toks
+),
+vocab AS (
+  SELECT tok, (row_number() OVER (ORDER BY tok) - 1) AS tid
+  FROM (SELECT DISTINCT tok FROM tok_rows WHERE doc_id < {INC_SPLIT})
+),
+vc AS (SELECT count(*)::HUGEINT AS v FROM vocab),
+ids0 AS (SELECT r.doc_id, r.pos, vocab.tid FROM tok_rows r JOIN vocab USING (tok)),
+ids AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, tid
+  FROM ids0
+),
+lens AS (SELECT doc_id, max(pos) AS n FROM ids GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, unnest(generate_series(1, n - 2)) AS s FROM lens WHERE n >= 3
+),
+trip AS (
+  SELECT st.doc_id, a.tid::HUGEINT AS t0, b.tid::HUGEINT AS t1, c.tid::HUGEINT AS t2
+  FROM starts st
+  JOIN ids a ON a.doc_id = st.doc_id AND a.pos = st.s
+  JOIN ids b ON b.doc_id = st.doc_id AND b.pos = st.s + 1
+  JOIN ids c ON c.doc_id = st.doc_id AND c.pos = st.s + 2
+),
+feats AS (
+  SELECT doc_id, ((t0 + (SELECT v FROM vc) * t1) % {MOD})::BIGINT AS term FROM trip
+  UNION ALL
+  SELECT doc_id, ((t0 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM trip
+  UNION ALL
+  SELECT doc_id, ((t1 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM trip
+),
+p AS (SELECT doc_id, term FROM feats GROUP BY doc_id, term),
+nd AS (SELECT count(*) AS n FROM documents),
+sp AS (SELECT greatest(1, (n + {INC_SHARDS} - 1) // {INC_SHARDS}) AS span FROM nd)
+SELECT (p.doc_id // sp.span)::BIGINT AS shard, p.term,
+       count(*)::BIGINT AS n_docs,
+       min(p.doc_id)::BIGINT AS first_doc, max(p.doc_id)::BIGINT AS last_doc
+FROM p CROSS JOIN sp
+GROUP BY 1, 2
+"""
+
+
 # fixture-parquet value oracles (generated by tools/gen_fixture_oracles.py)
 _FIXDIR = "/root/repo/tests/fixtures"
 
@@ -1253,6 +1353,7 @@ QUERIES = {
     "wand_topk_lno": q_wand_topk_lno,
     "ann_ivf_topk": q_ann_ivf,
     "t3_bpe_tokens": q_bpe_tokens,
+    "inc_merge_segments": q_incremental_merge,
 }
 
 ORACLE_SQL = {
@@ -1296,4 +1397,5 @@ ORACLE_SQL = {
     # so a changed corpus produces a visible mismatch, never stale pass
     "mm_image_features": SQL_MM_IMAGE_FEATURES,
     "autotune_grid": SQL_AUTOTUNE_GRID,
+    "inc_merge_segments": SQL_INCREMENTAL_MERGE,
 }

@@ -40,69 +40,7 @@ def wand_topk_per_shard(
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = pdf["query_id"].iloc[0]
-        # decode every term's postings for this shard; iterate terms in
-        # ascending order — the global deterministic fold order
-        pdf = pdf.sort_values("term")
-        term_docs: list[np.ndarray] = []
-        term_scores: list[np.ndarray] = []
-        term_qtf: list[float] = []
-        term_bfirst: list[np.ndarray] = []  # first doc of each block
-        term_bmax: list[np.ndarray] = []
-        for _, row in pdf.iterrows():
-            deltas = varbyte_decode(bytes(row["doc_deltas"])).astype(np.int64)
-            docs = np.cumsum(deltas)
-            scores = np.frombuffer(bytes(row["scores"]), dtype=np.float64)
-            term_docs.append(docs)
-            term_scores.append(scores)
-            term_qtf.append(float(row["qtf"]))
-            term_bfirst.append(docs[::block_size])
-            bm = np.asarray(row["block_max"], dtype=np.float64)
-            term_bmax.append(bm)
-
-        # candidate docs = union of posting docs in this shard
-        all_docs = np.unique(np.concatenate(term_docs))
-        if all_docs.size == 0:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
-
-        # block-level upper bound per candidate doc
-        ub = np.zeros(all_docs.size, dtype=np.float64)
-        for docs, qtf, bfirst, bmax in zip(
-            term_docs, term_qtf, term_bfirst, term_bmax
-        ):
-            # block index a doc would fall into for this term
-            bi = np.searchsorted(bfirst, all_docs, side="right") - 1
-            bi = np.clip(bi, 0, bmax.size - 1)
-            ub += qtf * bmax[bi]
-
-        order = np.argsort(-ub, kind="stable")
-        theta = -np.inf
-        top_docs: np.ndarray | None = None
-        top_scores: np.ndarray | None = None
-        chunk = max(k * 4, 256)
-        for start in range(0, order.size, chunk):
-            sel = order[start : start + chunk]
-            # strict <: a doc with UB == theta could still tie the k-th
-            # score and win on the doc_id-asc tie-break
-            if top_docs is not None and ub[sel[0]] < theta and top_docs.size >= k:
-                break  # no remaining doc can reach the k-th best
-            cand = all_docs[sel]
-            exact = np.zeros(cand.size, dtype=np.float64)
-            # ascending-term accumulation == deterministic fold order
-            for docs, scores, qtf in zip(term_docs, term_scores, term_qtf):
-                pos = np.searchsorted(docs, cand)
-                pos_c = np.clip(pos, 0, docs.size - 1)
-                hit = docs[pos_c] == cand
-                exact[hit] += qtf * scores[pos_c[hit]]
-            if top_docs is None:
-                top_docs, top_scores = cand, exact
-            else:
-                top_docs = np.concatenate([top_docs, cand])
-                top_scores = np.concatenate([top_scores, exact])
-            # keep only current top-k (score desc, doc asc)
-            sort_idx = np.lexsort((top_docs, -top_scores))[:k]
-            top_docs, top_scores = top_docs[sort_idx], top_scores[sort_idx]
-            if top_scores.size >= k:
-                theta = top_scores[-1]
+        top_docs, top_scores = _wand_shard_kernel(pdf, k, block_size)
         return pd.DataFrame(
             {
                 "query_id": query_id,
@@ -114,6 +52,144 @@ def wand_topk_per_shard(
     return qseg.groupBy("query_id", "shard").applyInPandas(
         score_group, schema="query_id string, doc_id long, score double"
     )
+
+
+def _wand_shard_kernel(
+    pdf: pd.DataFrame, k: int, block_size: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND over ONE shard's matching segment rows (columns
+    term, qtf, doc_deltas, scores, block_max) -> (top docs, scores).
+    Shared by the distributed path and the one-stage serving path."""
+    # decode every term's postings for this shard; iterate terms in
+    # ascending order — the global deterministic fold order
+    pdf = pdf.sort_values("term")
+    term_docs: list[np.ndarray] = []
+    term_scores: list[np.ndarray] = []
+    term_qtf: list[float] = []
+    term_bfirst: list[np.ndarray] = []  # first doc of each block
+    term_bmax: list[np.ndarray] = []
+    for _, row in pdf.iterrows():
+        deltas = varbyte_decode(bytes(row["doc_deltas"])).astype(np.int64)
+        docs = np.cumsum(deltas)
+        scores = np.frombuffer(bytes(row["scores"]), dtype=np.float64)
+        term_docs.append(docs)
+        term_scores.append(scores)
+        term_qtf.append(float(row["qtf"]))
+        term_bfirst.append(docs[::block_size])
+        bm = np.asarray(row["block_max"], dtype=np.float64)
+        term_bmax.append(bm)
+
+    # candidate docs = union of posting docs in this shard
+    all_docs = np.unique(np.concatenate(term_docs))
+    if all_docs.size == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+
+    # block-level upper bound per candidate doc
+    ub = np.zeros(all_docs.size, dtype=np.float64)
+    for docs, qtf, bfirst, bmax in zip(
+        term_docs, term_qtf, term_bfirst, term_bmax
+    ):
+        # block index a doc would fall into for this term
+        bi = np.searchsorted(bfirst, all_docs, side="right") - 1
+        bi = np.clip(bi, 0, bmax.size - 1)
+        ub += qtf * bmax[bi]
+
+    order = np.argsort(-ub, kind="stable")
+    theta = -np.inf
+    top_docs: np.ndarray | None = None
+    top_scores: np.ndarray | None = None
+    chunk = max(k * 4, 256)
+    for start in range(0, order.size, chunk):
+        sel = order[start : start + chunk]
+        # strict <: a doc with UB == theta could still tie the k-th
+        # score and win on the doc_id-asc tie-break
+        if top_docs is not None and ub[sel[0]] < theta and top_docs.size >= k:
+            break  # no remaining doc can reach the k-th best
+        cand = all_docs[sel]
+        exact = np.zeros(cand.size, dtype=np.float64)
+        # ascending-term accumulation == deterministic fold order
+        for docs, scores, qtf in zip(term_docs, term_scores, term_qtf):
+            pos = np.searchsorted(docs, cand)
+            pos_c = np.clip(pos, 0, docs.size - 1)
+            hit = docs[pos_c] == cand
+            exact[hit] += qtf * scores[pos_c[hit]]
+        if top_docs is None:
+            top_docs, top_scores = cand, exact
+        else:
+            top_docs = np.concatenate([top_docs, cand])
+            top_scores = np.concatenate([top_scores, exact])
+        # keep only current top-k (score desc, doc asc)
+        sort_idx = np.lexsort((top_docs, -top_scores))[:k]
+        top_docs, top_scores = top_docs[sort_idx], top_scores[sort_idx]
+        if top_scores.size >= k:
+            theta = top_scores[-1]
+    return top_docs.astype(np.int64), top_scores
+
+
+def segments_for_serving(segments: DataFrame, n_parts: int) -> DataFrame:
+    """Serving cache layout: hash-partition the segment table by shard
+    and persist. Every shard's rows are then CO-RESIDENT in one cached
+    partition, so a query is one mapInPandas over the cache — no join,
+    no shuffle, no window; the classic doc-sharded serving replica
+    layout. Call .count() on the result to warm the cache."""
+    return segments.repartition(n_parts, "shard").persist()
+
+
+def wand_topk_serve(
+    qterms_rows: list[tuple],
+    segments_sharded: DataFrame,
+    k: int,
+    block_size: int,
+) -> list[tuple]:
+    """One-query low-latency top-k: (term, qtf) literals are pushed as
+    an isin filter + a literal qtf map into a SINGLE stage over the
+    shard-partitioned segment cache (scan -> per-shard WAND kernel ->
+    per-shard top-k), merged to the global top-k on the driver (at most
+    k rows per shard). Results are identical to ``wand_topk`` — same
+    kernel, same tie-break (verified in tests).
+
+    qterms_rows: [(term, qtf), ...] for ONE query.
+    Returns [(rank, doc_id, score), ...].
+    """
+    from itertools import chain
+
+    terms = [int(t) for t, _ in qterms_rows]
+    if not terms:
+        return []
+    qtf_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(int(t)), F.lit(float(q))) for t, q in qterms_rows
+        )
+    )
+    seg = segments_sharded.where(F.col("term").isin(terms)).select(
+        "shard", "term", qtf_map[F.col("term")].alias("qtf"),
+        "doc_deltas", "scores", "block_max",
+    )
+
+    def score_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        outs = []
+        for _, grp in pdf.groupby("shard", sort=False):
+            docs, scores = _wand_shard_kernel(grp, k, block_size)
+            if docs.size:
+                outs.append(pd.DataFrame({"doc_id": docs, "score": scores}))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    rows = seg.mapInPandas(
+        score_partition, schema="doc_id long, score double"
+    ).collect()
+    if not rows:
+        return []
+    doc = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    sc = np.array([r["score"] for r in rows], dtype=np.float64)
+    idx = np.lexsort((doc, -sc))[:k]  # score desc, doc_id asc — as wand_topk
+    return [
+        (rank + 1, int(doc[i]), float(sc[i])) for rank, i in enumerate(idx)
+    ]
 
 
 def wand_topk(

@@ -1,0 +1,102 @@
+"""Incremental segment merge: stream-append new conversations, merge,
+and the warehouse segments must be BYTE-IDENTICAL to a full rebuild on
+the union corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flame_spark.config import FlameConfig
+from flame_spark.corpus import add_doc_id
+from flame_spark.data import transcripts_df
+from flame_spark.incremental import IncrementalIndexer, ingest_stream
+from flame_spark.pipeline import build_index, build_segment_table
+
+CFG = FlameConfig(
+    ngram=3, n_out=1, min_text_length=80, tokenizer="word",
+    term_mode="lno", n_shards=5, block_size=4,
+)
+
+
+def _seg_map(rows):
+    return {
+        (int(r["shard"]), r["term"]): (
+            r["n_docs"], r["first_doc"], r["last_doc"],
+            bytes(r["doc_deltas"]), bytes(r["tfs"]), bytes(r["scores"]),
+            tuple(r["block_max"]),
+        )
+        for r in rows
+    }
+
+
+def test_stream_append_merge_equals_full_rebuild(spark, tmp_path):
+    full = transcripts_df(spark, 20, 8).persist()
+    initial = full.filter(F.col("conv_id") < "conv000012")
+    append1 = full.filter(
+        (F.col("conv_id") >= "conv000012") & (F.col("conv_id") < "conv000016")
+    )
+    append2 = full.filter(F.col("conv_id") >= "conv000016")
+    assert append1.count() > 0 and append2.count() > 0
+
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(initial)
+
+    # generation 2: direct batch append. The generator's perturbed
+    # words guarantee novel tokens, so this exercises the pinned-vocab
+    # drop path (reference OOV semantics).
+    idx.ingest(append1, on_oov="drop")
+
+    # generation 3: stream-append — stage the new conversations as
+    # files, drive the foreachBatch ingestion to completion
+    stream_dir = tmp_path / "incoming"
+    append2.repartition(2).write.mode("overwrite").parquet(str(stream_dir))
+    ingest_stream(idx, spark, str(stream_dir), str(tmp_path / "ckpt"),
+                  on_oov="drop")
+    merged = _seg_map(idx.merge_segments(spark).collect())
+
+    # twin: full rebuild through the GENERAL pipeline with the same
+    # pinned artifacts — independent machinery (postings/stats joins +
+    # JVM scoring) must yield byte-identical segments
+    from flame_spark.artifacts_io import load_artifacts
+
+    pinned = load_artifacts(idx.artifacts_path)
+    rebuilt_index = build_index(
+        add_doc_id(full, ["conv_id", "turn_idx"]).select("doc_id", "text"),
+        CFG, artifacts=pinned,
+    )
+    rebuilt = _seg_map(build_segment_table(rebuilt_index).collect())
+
+    assert merged == rebuilt
+    assert len(merged) > 50
+    full.unpersist()
+
+
+def test_merge_is_idempotent_and_resumable(spark, tmp_path):
+    """Re-merging with no new ingests must not duplicate or change
+    anything (lineage skips completed shards for the same snapshot)."""
+    raw = transcripts_df(spark, 8, 6)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(raw)
+    first = _seg_map(idx.merge_segments(spark).collect())
+    again = _seg_map(idx.merge_segments(spark).collect())
+    assert first == again
+
+
+def test_append_contract_violations(spark, tmp_path):
+    raw = transcripts_df(spark, 10, 6)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(raw.filter(F.col("conv_id") < "conv000008"))
+
+    # out-of-order conv_id (already ingested range) -> refuse
+    with pytest.raises(ValueError, match="append contract"):
+        idx.ingest(raw.filter(F.col("conv_id") < "conv000003"))
+
+    # vocabulary-extending append -> refuse loudly
+    novel = spark.createDataFrame(
+        [("conv999999", 0, "user",
+          "zzznovelword " * 30 + "completely unseen tokenzz " * 10,
+          None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="vocabulary-extending"):
+        idx.ingest(novel)

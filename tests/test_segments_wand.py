@@ -108,6 +108,18 @@ def test_kill_and_resume_identical(spark, built, tmp_path):
         )
 
     assert table_key(wh_a) == table_key(wh_b)
-    # resume skipped the completed shards (lineage rows not duplicated)
+    # resume skipped the completed shards (lineage rows not duplicated):
+    # exactly one lineage row per shard PRESENT (raw-dense doc ids can
+    # spill one shard past n_shards — the warehouse must cover it, and
+    # the warehouse table must equal the one-shot build_segments table)
     lineage = spark.read.parquet(wh_b.lineage_path).collect()
-    assert len(lineage) == CFG.n_shards
+    from flame_spark.segments import build_segments
+
+    direct = build_segments(
+        scored, index.stats.n_docs, CFG.n_shards, CFG.block_size
+    )
+    shards_present = {
+        int(r["shard"]) for r in direct.select("shard").distinct().collect()
+    }
+    assert len(lineage) == len(shards_present)
+    assert {int(r["shard"]) for r in lineage} == shards_present
