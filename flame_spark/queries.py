@@ -1135,9 +1135,13 @@ FROM events GROUP BY 1, 2
 
 
 def q_otsu_threshold(spark, sf_dir):
-    """Otsu auto-threshold over the pair-score multiset (A8). skimage's
-    histogram algorithm — not expressible in ANSI SQL; rows-only check +
-    oracle-differential pytest coverage."""
+    """Otsu auto-threshold over the pair-score multiset (A8): doubled
+    i<j pair scores + one 1.0 diagonal per doc with >= SHINGLE_N
+    tokens, 256-bin histogram, between-class-variance argmax. The SQL
+    twin (SQL_OTSU_THRESHOLD) replicates np.histogram's exact
+    semantics: linspace edges (i*step+lo, last edge exactly hi),
+    half-open bins with the last bin closed, suffix cumsums in
+    reverse order, first-max tie-break."""
     from .similarity import otsu_threshold_distributed, similarity_score_multiset
 
     pairs = q_tfidf_cosine_pairs(spark, sf_dir)
@@ -1152,6 +1156,53 @@ def q_otsu_threshold(spark, sf_dir):
     )
     t = otsu_threshold_distributed(scores)
     return spark.createDataFrame([(float(t),)], "otsu_threshold double")
+
+
+SQL_OTSU_THRESHOLD = f"""
+WITH pairs AS ({SQL_TFIDF_COSINE_PAIRS}),
+toks2 AS (SELECT {_TOKS_SQL} AS tk FROM documents),
+scores AS (
+  SELECT score FROM pairs
+  UNION ALL SELECT score FROM pairs
+  UNION ALL SELECT 1.0 AS score FROM toks2 WHERE len(tk) >= {SHINGLE_N}
+),
+mm AS (SELECT min(score) AS lo, max(score) AS hi FROM scores),
+edges AS (
+  SELECT i,
+         CASE WHEN i = 256 THEN mm.hi
+              ELSE i * ((mm.hi - mm.lo) / 256.0) + mm.lo END AS e
+  FROM (SELECT unnest(generate_series(0, 256)) AS i) CROSS JOIN mm
+),
+vals AS (SELECT score, count(*)::DOUBLE AS cnt FROM scores GROUP BY score),
+binned AS (
+  SELECT least((SELECT count(*) FROM edges WHERE e <= v.score) - 1, 255) AS bin,
+         sum(v.cnt) AS c
+  FROM vals v GROUP BY 1
+),
+hist AS (
+  SELECT g.i AS bin, coalesce(b.c, 0.0)::DOUBLE AS c,
+         ((SELECT e FROM edges WHERE i = g.i)
+          + (SELECT e FROM edges WHERE i = g.i + 1)) / 2.0 AS center
+  FROM (SELECT unnest(generate_series(0, 255)) AS i) g
+  LEFT JOIN binned b ON b.bin = g.i
+),
+cums AS (
+  SELECT bin, center,
+         sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS w1,
+         sum(c) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS w2,
+         sum(c * center) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS s1,
+         sum(c * center) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS s2
+  FROM hist
+),
+v AS (
+  SELECT a.bin, a.center,
+         a.w1 * b.w2 * ((a.s1 / a.w1 - b.s2 / b.w2)
+                        * (a.s1 / a.w1 - b.s2 / b.w2)) AS var12
+  FROM cums a JOIN cums b ON b.bin = a.bin + 1
+)
+SELECT center AS otsu_threshold FROM v
+ORDER BY var12 DESC, bin ASC LIMIT 1
+"""
 
 
 def q_wand_topk_lno(spark, sf_dir):
@@ -1398,4 +1449,7 @@ ORACLE_SQL = {
     "mm_image_features": SQL_MM_IMAGE_FEATURES,
     "autotune_grid": SQL_AUTOTUNE_GRID,
     "inc_merge_segments": SQL_INCREMENTAL_MERGE,
+    # np.histogram/Otsu semantics replicated exactly in SQL (linspace
+    # edges, closed last bin, reverse-order suffix sums, first-max)
+    "a8_otsu_threshold": SQL_OTSU_THRESHOLD,
 }
