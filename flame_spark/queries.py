@@ -262,26 +262,44 @@ SELECT doc_id, shingle, count(*)::BIGINT AS tf FROM sh GROUP BY doc_id, shingle
 
 def q_lno31_postings(spark, sf_dir):
     """LNO postings via the UNBOUNDED-vocab path: distributed dense-rank
-    vocab (no driver collect), join-based token encode, id-array
-    hashing — the shape that survives word-mode at 100 TB. The gate
-    proves it equals the DuckDB rank-over-sorted-distinct oracle."""
-    from .corpus import (
-        build_vocab_df,
-        encode_tokens_joined,
-        make_shingle_from_ids_udf,
-    )
-    from .postings import build_postings
+    vocab (no driver collect), join-based token encode, window-lead
+    trigram assembly and Mersenne-61 hashing ENTIRELY JVM-side — for
+    keep = ngram - n_out = 2 the hash t_i + V*t_j stays under 2^62
+    whenever V < 2^31, so no Python ever touches the hot path and the
+    whole chain is whole-stage-codegen + exchanges. This is the shape
+    that survives word-mode at 100 TB. The gate proves it equals the
+    DuckDB rank-over-sorted-distinct oracle. (Configs with keep > 2
+    need the modular split-multiply and use the Arrow kernel:
+    corpus.make_shingle_from_ids_udf.)"""
+    from .corpus import build_vocab_df
 
     docs = _docs(spark, sf_dir).withColumn(
         "tokens", word_tokens_col(F.col("text"))
     ).persist()
     vocab_df = build_vocab_df(docs).persist()
     n_vocab = vocab_df.count()
-    with_ids = encode_tokens_joined(docs, vocab_df)
-    shingle = make_shingle_from_ids_udf(n_vocab, 3, 1)
-    feats = with_ids.withColumn("features", shingle(F.col("token_ids")))
-    return build_postings(feats, "features").select(
-        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    assert n_vocab < 2**31
+
+    pos = docs.select("doc_id", F.posexplode("tokens").alias("pos", "tok"))
+    ids = pos.join(vocab_df, "tok").select("doc_id", "pos", "tid")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = ids.select(
+        "doc_id",
+        F.col("tid").alias("t0"),
+        F.lead("tid", 1).over(w).alias("t1"),
+        F.lead("tid", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    V = F.lit(int(n_vocab))
+    M = F.lit(MOD)
+    h = lambda a, b: (F.col(a) + V * F.col(b)) % M  # noqa: E731
+    feats = tri.select(
+        "doc_id",
+        F.explode(F.array(h("t0", "t1"), h("t0", "t2"), h("t1", "t2"))).alias(
+            "term"
+        ),
+    )
+    return feats.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
     )
 
 

@@ -1,0 +1,81 @@
+"""spark-submit entry point: transcripts parquet -> segment warehouse.
+
+    zip -r /tmp/flame_spark.zip flame_spark
+    spark-submit --master local[8] --py-files /tmp/flame_spark.zip \\
+        tools/submit_job.py <transcripts_parquet> <warehouse_dir> \\
+        [n_shards] [queries_json]
+
+Builds the serving index (two-exchange path), writes checkpointed
+segment shards with lineage + metrics into <warehouse_dir>, then (if a
+queries JSON list of {query_id, query_text} is given) answers them with
+block-max WAND over the shard-partitioned cache and prints one JSON
+line per result. On a real cluster, replace --master with yarn/k8s —
+nothing in the job is local-mode-specific (the parquet warehouse
+stands in for Iceberg; jars are absent in this sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main(argv: list[str]) -> int:
+    src, wh_dir = argv[0], argv[1]
+    n_shards = int(argv[2]) if len(argv) > 2 else 16
+    queries = json.loads(argv[3]) if len(argv) > 3 else []
+
+    spark = SparkSession.builder.appName("flame_spark_submit").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from flame_spark.config import FlameConfig
+    from flame_spark.corpus import add_doc_id, add_features, prepare_docs
+    from flame_spark.fastbuild import (
+        ServingIndex,
+        doc_lengths_arith,
+        scored_postings_direct,
+    )
+    from flame_spark.lineage import SegmentWarehouse, snapshot_id
+    from flame_spark.pipeline import wand_bm25_serve
+    from flame_spark.postings import corpus_stats
+    from flame_spark.wand import segments_for_serving
+
+    cfg = FlameConfig(
+        ngram=3, n_out=1, min_text_length=80, tokenizer="word",
+        term_mode="lno", n_shards=n_shards,
+    )
+    raw = spark.read.parquet(src)
+    tdf = add_doc_id(raw, ["conv_id", "turn_idx"]).select("doc_id", "text")
+    docs, artifacts = prepare_docs(tdf, cfg)
+    stats = corpus_stats(doc_lengths_arith(docs, cfg))
+    scored = scored_postings_direct(
+        add_features(docs, artifacts, cfg), stats, cfg.bm25_k1, cfg.bm25_b
+    ).persist()
+
+    # checkpointed write with lineage + metrics (resume-safe)
+    wh = SegmentWarehouse(wh_dir)
+    snap = snapshot_id(scored, ["term", "doc_id", "tf"])
+    wh.build_checkpointed(
+        scored, stats.n_docs, cfg.n_shards, cfg.block_size, snap
+    )
+    segs = wh.read_segments(spark)
+    print(json.dumps({"segments": segs.count(), "snapshot": snap,
+                      "n_docs": stats.n_docs}))
+
+    if queries:
+        serving = ServingIndex(
+            cfg=cfg, artifacts=artifacts, stats=stats, segments=segs
+        )
+        sharded = segments_for_serving(segs, n_shards)
+        sharded.count()
+        for row in wand_bm25_serve(queries, serving, sharded, k=10):
+            print(json.dumps({"query_id": row[0], "rank": row[1],
+                              "doc_id": row[2], "score": row[3]}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
