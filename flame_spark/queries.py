@@ -76,8 +76,16 @@ def _memo(spark, sf_dir: str, key: str, build):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    # the documents table arrives as ONE small parquet file = one scan
+    # partition; without a spread every downstream tokenize/shingle/
+    # aggregate stage runs on a single core. One tiny shuffle (the
+    # table is KBs..MBs) buys full-width parallelism; every registered
+    # query is partitioning-invariant by design (tested).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .repartition(n_parts)
     )
 
 
@@ -1228,22 +1236,27 @@ def q_wand_topk_lno(spark, sf_dir):
     WAND top-k. Equals the exhaustive scorer (pytest-verified); WAND
     pruning is not SQL-expressible -> rows-only check."""
     from .config import FlameConfig
-    from .pipeline import build_index, build_segment_table, wand_bm25_topk
+    from .fastbuild import build_serving_index
+    from .pipeline import wand_bm25_topk
 
     def build():
         cfg = FlameConfig(
             ngram=3, n_out=1, min_text_length=0, tokenizer="word",
             term_mode="lno", n_shards=8,
         )
-        index = build_index(_docs(spark, sf_dir), cfg)
-        segments = build_segment_table(index).persist()
-        return index, segments
+        # two-exchange build (segment bytes byte-equal to the general
+        # path, tests/test_fastbuild.py); WAND only needs segments +
+        # artifacts + stats
+        serving = build_serving_index(_docs(spark, sf_dir), cfg)
+        segments = serving.segments.persist()
+        segments.count()
+        return serving, segments
 
-    index, segments = _memo(spark, sf_dir, "lno_index_segments", build)
+    serving, segments = _memo(spark, sf_dir, "lno_index_segments", build)
     queries = [
         {"query_id": qid, "query_text": qtext} for qid, qtext in BM25_QUERIES
     ]
-    return wand_bm25_topk(spark, queries, index, segments, k=BM25_K).select(
+    return wand_bm25_topk(spark, queries, serving, segments, k=BM25_K).select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
