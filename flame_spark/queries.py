@@ -772,9 +772,11 @@ SQL_EXACT_HASH_GROUPS = (
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    from .textops import ngram_jaccard_pairs
+    """Skew-salted by default: a hot shingle cannot pin its quadratic
+    intersection work on one reducer (same result as the plain join)."""
+    from .textops import ngram_jaccard_pairs_salted
 
-    return ngram_jaccard_pairs(
+    return ngram_jaccard_pairs_salted(
         _docs(spark, sf_dir), n=SHINGLE_N, threshold=JACCARD_THRESHOLD
     ).select(
         "doc_i",

@@ -125,6 +125,86 @@ def auto_hot_df_threshold(term_stats_df: DataFrame, n_partitions: int) -> int:
     return max(64, int(np.sqrt(8.0 * total_pair_work / max(1, n_partitions))))
 
 
+def salted_self_join(
+    rows: DataFrame,
+    hot_keys: DataFrame,
+    key_col: str,
+    n_splits: int = 8,
+) -> DataFrame:
+    """Skew-split self-join on ``key_col``: returns one row per
+    (key, unordered doc pair), with every non-key payload column of
+    ``rows`` duplicated as ``<col>_a`` / ``<col>_b``. Rows of a hot key
+    (``hot_keys``: single-column DataFrame of keys to split) are hashed
+    into ``n_splits`` doc groups; group-pair replication guarantees the
+    EXACT pair set of the plain self-join while a hot key's quadratic
+    pair work spreads over G(G+1)/2 reducers. Non-hot keys keep their
+    single (g, g) key — never replicated through the shuffle."""
+    payload = [c for c in rows.columns if c != key_col and c != "doc_id"]
+    hot = hot_keys.select(F.col(key_col), F.lit(True).alias("_hot"))
+    w = (
+        rows.join(F.broadcast(hot), key_col, "left")
+        .withColumn("_hot", F.col("_hot").isNotNull())
+        .withColumn(
+            "_g",
+            F.when(
+                F.col("_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(n_splits))
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .persist()
+    )
+    splits = F.lit(n_splits)
+    a = w.withColumn(
+        "_gb",
+        F.explode(
+            F.sequence(
+                F.col("_g"), F.when(F.col("_hot"), splits - 1).otherwise(F.col("_g"))
+            )
+        ),
+    ).select(
+        key_col, F.col("_g").alias("_ga"), "_gb",
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload],
+    )
+    b = w.withColumn(
+        "_ga",
+        F.explode(
+            F.sequence(
+                F.when(F.col("_hot"), F.lit(0)).otherwise(F.col("_g")), F.col("_g")
+            )
+        ),
+    ).select(
+        key_col, "_ga", F.col("_g").alias("_gb"),
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload],
+    )
+    # cross-group pairs meet in exactly ONE role order (the lower-group
+    # member arrives on the a-side), so both doc orders must pass;
+    # same-group pairs meet in BOTH role orders, so doc_a < doc_b
+    # dedups them. Canonicalize to (least, greatest) afterwards,
+    # swapping payloads to follow their doc.
+    joined = (
+        a.join(b, [key_col, "_ga", "_gb"])
+        .where(
+            (F.col("_ga") != F.col("_gb")) | (F.col("doc_a") < F.col("doc_b"))
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    swap = F.col("doc_a") > F.col("doc_b")
+    out_cols = [
+        F.least("doc_a", "doc_b").alias("doc_i"),
+        F.greatest("doc_a", "doc_b").alias("doc_j"),
+        F.col(key_col),
+    ]
+    for c in payload:
+        out_cols.append(
+            F.when(swap, F.col(f"{c}_b")).otherwise(F.col(f"{c}_a")).alias(f"{c}_i")
+        )
+        out_cols.append(
+            F.when(swap, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b")).alias(f"{c}_j")
+        )
+    return joined.select(*out_cols)
+
+
 def cosine_pairs_salted(
     weights: DataFrame,
     term_stats_df: DataFrame,
@@ -153,59 +233,15 @@ def cosine_pairs_salted(
         hot_df_threshold = auto_hot_df_threshold(
             term_stats_df, int(spark.conf.get("spark.sql.shuffle.partitions"))
         )
-    hot = term_stats_df.filter(F.col("df") > hot_df_threshold).select(
-        "term", F.lit(True).alias("_hot")
+    hot = term_stats_df.filter(F.col("df") > hot_df_threshold).select("term")
+    pairs = salted_self_join(
+        weights.select("term", "doc_id", "wn"), hot, "term", n_splits
     )
-    w = (
-        weights.join(F.broadcast(hot), "term", "left")
-        .withColumn("_hot", F.col("_hot").isNotNull())
-        .withColumn(
-            "_g",
-            F.when(
-                F.col("_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(n_splits))
-            ).otherwise(F.lit(0)).cast("int"),
-        )
-        .persist()
-    )
-    splits = F.lit(n_splits)
-    a = w.withColumn(
-        "_gb",
-        F.explode(
-            F.sequence(
-                F.col("_g"), F.when(F.col("_hot"), splits - 1).otherwise(F.col("_g"))
-            )
-        ),
-    ).select(
-        "term", F.col("_g").alias("_ga"), "_gb",
-        F.col("doc_id").alias("doc_a"), F.col("wn").alias("wn_a"),
-    )
-    b = w.withColumn(
-        "_ga",
-        F.explode(
-            F.sequence(
-                F.when(F.col("_hot"), F.lit(0)).otherwise(F.col("_g")), F.col("_g")
-            )
-        ),
-    ).select(
-        "term", "_ga", F.col("_g").alias("_gb"),
-        F.col("doc_id").alias("doc_b"), F.col("wn").alias("wn_b"),
-    )
-    # cross-group pairs meet in exactly ONE role order (the lower-group
-    # member arrives on the a-side), so both doc orders must pass;
-    # same-group pairs meet in BOTH role orders, so doc_a < doc_b
-    # dedups them. Canonicalize to (least, greatest) afterwards.
-    prods = (
-        a.join(b, ["term", "_ga", "_gb"])
-        .where(
-            (F.col("_ga") != F.col("_gb")) | (F.col("doc_a") < F.col("doc_b"))
-        )
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_i"),
-            F.greatest("doc_a", "doc_b").alias("doc_j"),
-            F.col("term").alias("t"),
-            (F.col("wn_a") * F.col("wn_b")).alias("val"),
-        )
+    prods = pairs.select(
+        "doc_i",
+        "doc_j",
+        F.col("term").alias("t"),
+        (F.col("wn_i") * F.col("wn_j")).alias("val"),
     )
     return prods.groupBy("doc_i", "doc_j").agg(
         _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias("score")

@@ -122,6 +122,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_salted(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    hot_df_threshold: int | None = None,
+    n_splits: int = 8,
+) -> DataFrame:
+    """Skew-safe ``ngram_jaccard_pairs`` — the DEFAULT (registry
+    ``dedup_jaccard3_pairs``): a Zipf-hot shingle's quadratic
+    intersection work is split across reducers via the shared
+    ``similarity.salted_self_join`` (exact same pair set and counts as
+    the plain self-join, tested); the cutoff derives from the shingle
+    document frequencies like the cosine path's."""
+    from .similarity import auto_hot_df_threshold, salted_self_join
+
+    spark = docs.sparkSession
+    sh = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(word_ngrams_col(word_tokens_col(F.col(text_col)), n))
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull()).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_stats = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if hot_df_threshold is None:
+        hot_df_threshold = auto_hot_df_threshold(
+            df_stats, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+    hot = df_stats.filter(F.col("df") > hot_df_threshold).select("shingle")
+    inter = (
+        salted_self_join(sh.select("shingle", "doc_id"), hot, "shingle", n_splits)
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_i"), F.col("sz").alias("sz_i"))
+    sb = sizes.select(F.col("doc_id").alias("doc_j"), F.col("sz").alias("sz_j"))
+    return (
+        inter.join(sa, "doc_i")
+        .join(sb, "doc_j")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_i") + F.col("sz_j") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_i", "doc_j", "inter", "jaccard")
+    )
+
+
 def shingle_base_hash_col(shingle_col):
     """First 8 md5 hex chars -> int in [0, 2^32); same in DuckDB."""
     return F.conv(F.substring(F.md5(shingle_col), 1, 8), 16, 10).cast("long")

@@ -93,6 +93,30 @@ def test_salted_join_identical_to_plain(spark, two_indexes):
     assert default == plain
 
 
+def test_salted_jaccard_identical_to_plain(spark):
+    """Every doc shares one hot shingle ('a b c' in all) — the salted
+    intersection counts must equal the plain self-join's exactly."""
+    from flame_spark.textops import ngram_jaccard_pairs, ngram_jaccard_pairs_salted
+
+    rows = [
+        (d, "a b c " + " ".join(f"w{d % 7}x{k}" for k in range(6)) + " a b c")
+        for d in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        (r["doc_i"], r["doc_j"]): (r["inter"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    }
+    salted = {
+        (r["doc_i"], r["doc_j"]): (r["inter"], r["jaccard"])
+        for r in ngram_jaccard_pairs_salted(
+            docs, n=3, threshold=0.05, hot_df_threshold=10, n_splits=4
+        ).collect()
+    }
+    assert plain  # the shared hot shingle produces pairs
+    assert salted == plain
+
+
 def test_skewed_fixture_takes_salted_path(spark):
     """A deliberately Zipf-hot term must cross the automatic df cutoff
     (so the default path actually salts it), and the salted result must
