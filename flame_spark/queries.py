@@ -856,6 +856,40 @@ JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
 """
 
 
+def q_minhash_dedup_groups(spark, sf_dir):
+    """Transitive MinHash-LSH near-dup groups + keeper flags over the
+    documents table (connected components, graphops.py)."""
+    from .graphops import dedup_groups
+
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    out = dedup_groups(nodes, pairs, "doc_id", "doc_i", "doc_j")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "is_keeper",
+    )
+
+
+SQL_MINHASH_DEDUP_GROUPS = f"""
+WITH RECURSIVE pr AS (SELECT doc_i, doc_j FROM ({SQL_MINHASH_LSH_PAIRS})),
+und AS (
+  SELECT doc_i AS a, doc_j AS b FROM pr
+  UNION
+  SELECT doc_j AS a, doc_i AS b FROM pr
+),
+nodes AS (SELECT doc_id::BIGINT AS id FROM documents),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id
+)
+SELECT id AS doc_id, min(r)::BIGINT AS component,
+       (id = min(r)) AS is_keeper
+FROM reach GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash
 # ---------------------------------------------------------------------------
@@ -1111,6 +1145,47 @@ WHERE c >= {EMBED_DEDUP_THRESHOLD}
 SQL_EMBED_NEAR_DUP_LSH = SQL_EMBED_COSINE_PAIRS.replace(
     f">= {EMBED_DEDUP_THRESHOLD}", f">= {EMBED_LSH_THRESHOLD}"
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup GROUPS: transitive closure of the near-dup pair relation with a
+# deterministic keeper (min id) — the decision layer of deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_embed_dedup_groups(spark, sf_dir):
+    """Connected components over the exact embedding near-dup pairs
+    (iterative min-label propagation, graphops.py) + keeper flags."""
+    from .embedops import load_embeddings
+    from .graphops import dedup_groups
+
+    nodes = load_embeddings(spark, sf_dir).select("vec_id")
+    pairs = q_embed_cosine_pairs(spark, sf_dir).select("vec_i", "vec_j")
+    out = dedup_groups(nodes, pairs, "vec_id", "vec_i", "vec_j")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+        "is_keeper",
+    )
+
+
+SQL_EMBED_DEDUP_GROUPS = f"""
+WITH RECURSIVE pr AS (SELECT vec_i, vec_j FROM ({SQL_EMBED_COSINE_PAIRS})),
+und AS (
+  SELECT vec_i AS a, vec_j AS b FROM pr
+  UNION
+  SELECT vec_j AS a, vec_i AS b FROM pr
+),
+nodes AS (SELECT vec_id::BIGINT AS id FROM embeddings),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id
+)
+SELECT id AS vec_id, min(r)::BIGINT AS component,
+       (id = min(r)) AS is_keeper
+FROM reach GROUP BY id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1422,6 +1497,8 @@ QUERIES = {
     "dedup_simhash": q_simhash,
     "dedup_embed_cosine_pairs": q_embed_cosine_pairs,
     "dedup_embed_lsh_pairs": q_embed_near_dup_lsh,
+    "dedup_embed_groups": q_embed_dedup_groups,
+    "dedup_minhash_groups": q_minhash_dedup_groups,
     "s3_corpus_filter": q_corpus_filter,
     "text_langid": q_langid,
     "text_quality": q_quality,
@@ -1462,6 +1539,8 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_SIMHASH,
     "dedup_embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "dedup_embed_lsh_pairs": SQL_EMBED_NEAR_DUP_LSH,
+    "dedup_embed_groups": SQL_EMBED_DEDUP_GROUPS,
+    "dedup_minhash_groups": SQL_MINHASH_DEDUP_GROUPS,
     "s3_corpus_filter": SQL_CORPUS_FILTER,
     "text_langid": SQL_LANGID,
     "text_quality": SQL_QUALITY,

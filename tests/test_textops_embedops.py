@@ -284,3 +284,52 @@ def test_streaming_windowed_events_dir(spark, tmp_path):
     rows = run_windowed_event_counts_once(spark, str(tmp_path / "ev"))
     batch_n = ev.count()
     assert sum(r["n"] for r in rows) == batch_n
+
+
+def test_connected_components_vs_bfs_oracle(spark):
+    """Min-label propagation CC must match a driver-side BFS on chains
+    (worst diameter), cycles, singletons, and a random graph."""
+    from collections import defaultdict, deque
+
+    from flame_spark.graphops import connected_components, dedup_groups
+
+    rng = np.random.default_rng(11)
+    n = 120
+    edges = [(i, i + 1) for i in range(0, 20)]          # chain 0..20
+    edges += [(30 + i, 30 + (i + 1) % 8) for i in range(8)]  # cycle 30..37
+    edges += [
+        (int(a), int(b))
+        for a, b in rng.integers(50, 110, size=(40, 2))
+        if a != b
+    ]  # random clumps; 110..119 singletons
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for start in range(n):
+        if start in expected:
+            continue
+        comp, q = {start}, deque([start])
+        while q:
+            v = q.popleft()
+            for u in adj[v]:
+                if u not in comp:
+                    comp.add(u)
+                    q.append(u)
+        m = min(comp)
+        for v in comp:
+            expected[v] = m
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edf).collect()
+    }
+    assert got == expected
+
+    groups = dedup_groups(nodes, edf, "id", "src", "dst").collect()
+    keepers = {r["id"] for r in groups if r["is_keeper"]}
+    assert keepers == set(expected.values())
