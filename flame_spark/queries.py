@@ -1406,6 +1406,63 @@ def q_stream_events_window(spark, sf_dir):
     )
 
 
+def q_stream_user_state(spark, sf_dir):
+    """Custom STATEFUL streaming operator under the gate: per-user
+    running (n_events, sum_value) via applyInPandasWithState, fed in 3
+    microbatches (events split by event_id mod 3, so every user's state
+    must carry across batches); the FINAL emission per user must equal
+    a batch GROUP BY — the shared SQL oracle."""
+    import hashlib
+    import os
+    import uuid
+
+    from .streaming import user_event_state_stream
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"ustate|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:8]
+    stage_dir = f"/tmp/flame_stream_user_{tag}"
+    if not os.path.isdir(stage_dir):
+        ev = spark.read.parquet(src)
+        for i in range(3):
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{stage_dir}/part{i}.parquet")
+
+    agg = user_event_state_stream(spark, f"{stage_dir}/*")
+    qname = f"user_state_{tag}_{uuid.uuid4().hex[:6]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.table(qname).collect()
+    q.stop()
+    final: dict = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    return spark.createDataFrame(
+        [
+            (int(u), int(n), float(round(s, 6)))
+            for u, (n, s) in final.items()
+        ],
+        "user_id long, n_events long, sum_value double",
+    )
+
+
+SQL_STREAM_USER_STATE = """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_autotune(spark, sf_dir):
     """§2.11 auto-tune grid search over the documents corpus (word
     tokens): returns the selected (ngram, n_out) + SNR. Deterministic
@@ -1507,6 +1564,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_bruteforce,
     "events_window5m": q_events_window,
     "stream_events_window5m": q_stream_events_window,
+    "stream_user_state": q_stream_user_state,
     # rows-only (non-SQL-expressible) engine paths
     "autotune_grid": q_autotune,
     "mm_image_features": q_multimodal_features,
@@ -1551,6 +1609,9 @@ ORACLE_SQL = {
     # the streaming variant must equal the batch aggregation, so it
     # shares the batch oracle — Structured Streaming under the gate
     "stream_events_window5m": SQL_EVENTS_WINDOW,
+    # stateful (applyInPandasWithState) running per-user aggregates:
+    # final emissions must equal the batch GROUP BY
+    "stream_user_state": SQL_STREAM_USER_STATE,
     # the WAND engine path is score-identical to exhaustive BM25, so
     # the full normalize->LNO->segments->WAND chain gets a value oracle
     "wand_topk_lno": SQL_WAND_TOPK_LNO,

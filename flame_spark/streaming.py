@@ -65,6 +65,135 @@ def run_incremental_postings_once(
     return rows
 
 
+def conversation_state_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    per-conversation running session state — turn count, total text
+    chars, max turn_idx — maintained across microbatches and emitted
+    (update mode) whenever the conversation receives new turns. The
+    arbitrary-state API is the escape hatch for operators watermarked
+    windows can't express (running per-key aggregates with custom merge
+    logic); state is a single small tuple per conversation, so the
+    state store stays O(active conversations)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    out_type = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("n_turns", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("max_turn_idx", IntegerType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("n_turns", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("max_turn_idx", IntegerType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n_turns, n_chars, max_ti = (
+            state.get if state.exists else (0, 0, -1)
+        )
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].fillna("").str.len().sum())
+            if len(pdf):
+                max_ti = max(max_ti, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_chars, max_ti))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n_turns],
+                "n_chars": [n_chars],
+                "max_turn_idx": [max_ti],
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_conversation_state_once(
+    spark: SparkSession, input_dir: str, query_name: str = "conv_state"
+):
+    """Drive the stateful stream over the files currently present; the
+    memory sink accumulates every per-batch emission, so a conversation
+    split across microbatches appears multiple times with GROWING
+    counts — direct evidence the state carried over."""
+    agg = conversation_state_stream(spark, input_dir)
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql(f"SELECT * FROM {query_name}").collect()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    q.stop()
+    return rows, n_batches
+
+
+def user_event_state_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Stateful per-user event accumulator (applyInPandasWithState):
+    running (n_events, sum_value) per user_id across microbatches —
+    the gate-checked twin of ``conversation_state_stream`` over the
+    events table (final emissions must equal a batch GROUP BY)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    out_type = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_event_counts(spark: SparkSession, input_dir: str) -> DataFrame:
     """Watermarked 5-minute tumbling windows over the events stream."""
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
