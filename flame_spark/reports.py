@@ -26,12 +26,52 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-_DISPLAY_TOK_RE = re.compile(r"\w+|[^\w\s]")
 _YEAR_RE = re.compile(r"(?<!\d)(1\d{3}|2\d{3})(?!\d)")
+
+# Penn-Treebank-style display tokenization (the reference displays
+# nltk.word_tokenize tokens, flame.py:856-865; nltk is absent in this
+# sandbox). The PTB rules below are the public tokenizer.sed behavior:
+# punctuation split-off, quote conversion to ``/'', contraction clitic
+# splitting ('s n't 'll 're 've 'm 'd), special bi-words (cannot,
+# gonna...). Deviation from nltk.word_tokenize proper: no Punkt
+# sentence splitting first, so only string-final (not every
+# sentence-final) periods detach — stated, cosmetic, report-only.
+_PTB_RULES = [
+    (re.compile(r'^\"'), r"`` "),
+    (re.compile(r"(``)"), r" \1 "),
+    (re.compile(r'([ \(\[{<])(\"|\'{2})'), r"\1 `` "),
+    (re.compile(r"([:,])([^\d])"), r" \1 \2"),
+    (re.compile(r"([:,])$"), r" \1 "),
+    (re.compile(r"\.\.\."), r" ... "),
+    (re.compile(r"[;@#$%&]"), r" \g<0> "),
+    (re.compile(r'([^\.])(\.)([\]\)}>"\']*)\s*$'), r"\1 \2\3 "),
+    (re.compile(r"[?!]"), r" \g<0> "),
+    (re.compile(r"([^'])' "), r"\1 ' "),
+    (re.compile(r"[\]\[\(\)\{\}<>]"), r" \g<0> "),
+    (re.compile(r"--"), r" -- "),
+    (re.compile(r'"'), r" '' "),
+    (re.compile(r"(\S)('')"), r"\1 \2 "),
+    (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
+    (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r"\1 \2 "),
+]
+_PTB_WORDS = [
+    (re.compile(r"\b(can)(?#X)(not)\b", re.IGNORECASE), r" \1 \2 "),
+    (re.compile(r"\b(gim)(?#X)(me)\b", re.IGNORECASE), r" \1 \2 "),
+    (re.compile(r"\b(gon)(?#X)(na)\b", re.IGNORECASE), r" \1 \2 "),
+    (re.compile(r"\b(got)(?#X)(ta)\b", re.IGNORECASE), r" \1 \2 "),
+    (re.compile(r"\b(lem)(?#X)(me)\b", re.IGNORECASE), r" \1 \2 "),
+    (re.compile(r"\b(wan)(?#X)(na)\b", re.IGNORECASE), r" \1 \2 "),
+]
 
 
 def display_tokens(text: str) -> list[str]:
-    return _DISPLAY_TOK_RE.findall(text or "")
+    """PTB-style word tokens for the alignment reports."""
+    t = " " + (text or "") + " "
+    for rx, rep in _PTB_RULES:
+        t = rx.sub(rep, t)
+    for rx, rep in _PTB_WORDS:
+        t = rx.sub(rep, t)
+    return t.split()
 
 
 def analysis_tokens(tokens: list[str]) -> list[str]:

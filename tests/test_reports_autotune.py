@@ -128,3 +128,19 @@ def test_reports_dataframes(spark):
     assert pairs_seen == {(0, 1)}
     kinds = {(r["token_1"], r["token_2"]): r["variation_type"] for r in lv}
     assert kinds.get(("sancte", "sanctae")) == "Similar Bridge Word"
+
+
+def test_display_tokens_ptb_parity():
+    """PTB-rule display tokens match nltk.word_tokenize on its
+    canonical behaviors (quotes, clitics, punctuation, ellipses) —
+    the reference displays nltk tokens, flame.py:856-865."""
+    from flame_spark.reports import display_tokens
+
+    assert display_tokens('He can\'t go, won\'t he? "Yes," she said.') == [
+        'He', 'ca', "n't", 'go', ',', 'wo', "n't", 'he', '?',
+        '``', 'Yes', ',', "''", 'she', 'said', '.']
+    assert display_tokens("It's John's book (the red one).") == [
+        'It', "'s", 'John', "'s", 'book', '(', 'the', 'red', 'one', ')', '.']
+    assert display_tokens("cost $3.50; done...") == [
+        'cost', '$', '3.50', ';', 'done', '...']
+    assert display_tokens("") == []
