@@ -405,6 +405,10 @@ class CorpusArtifacts:
     vocab_size: int
     encoder_df: object | None = None  # DataFrame(tok, tid) in joined mode
     n_vocab: int = 0
+    # Observation piggybacked on the encoder job: {'n_docs',
+    # 'sum_windows'} — lets fastbuild derive (n_docs, avgdl) with zero
+    # extra job barriers. None on the pinned-artifact path.
+    size_obs: object | None = None
 
     def lookup_ids(self, tokens: list[str]) -> dict[str, int]:
         """token -> id for a BOUNDED token list (e.g. one query's
@@ -522,6 +526,21 @@ def prepare_docs(
     # normalize/tokenize UDFs run exactly once; release the stage1 cache
     docs = docs.persist()
 
+    # piggyback the corpus-size statistics onto the encoder job below
+    # (Observation = zero extra job barrier): n docs and the window-
+    # count sum give fastbuild its (n_docs, avgdl) without a separate
+    # corpus_stats action. Windows per doc = max(0, k - ngram + 1).
+    from pyspark.sql import Observation
+
+    obs = Observation(f"corpus_stats_{id(docs)}")
+    docs_obs = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.greatest(F.size("tokens") - (cfg.ngram - 1), F.lit(0)).cast("long")
+        ).alias("sum_windows"),
+    )
+
     # encoder: sorted distinct tokens -> dense ids (flame.py:680-684).
     # In BPE mode the vocabulary is bounded by the trained vocab, so a
     # driver collect is O(vocab) at any corpus size. In word mode the
@@ -530,7 +549,7 @@ def prepare_docs(
     # distributed (encoder_df) and encode via join (add_features).
     encoder = None
     encoder_df = None
-    distinct_df = docs.select(F.explode("tokens").alias("tok")).distinct()
+    distinct_df = docs_obs.select(F.explode("tokens").alias("tok")).distinct()
     if cfg.tokenizer == "bpe":
         # bounded by the trained vocab: one collect job, any corpus size
         distinct_tokens = [r["tok"] for r in distinct_df.collect()]
@@ -557,7 +576,7 @@ def prepare_docs(
 
     artifacts = CorpusArtifacts(
         norm=art0, bpe=bpe_model, encoder=encoder, vocab_size=vocab_size,
-        encoder_df=encoder_df, n_vocab=n_vocab,
+        encoder_df=encoder_df, n_vocab=n_vocab, size_obs=obs,
     )
     return docs, artifacts
 

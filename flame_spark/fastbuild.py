@@ -166,7 +166,22 @@ def build_serving_index(raw_docs: DataFrame, cfg: FlameConfig) -> ServingIndex:
     # exchange's map side, instead of once more for a cache fill.
     # (Bit-equality with the general path is asserted by
     # tests/test_fastbuild.py on the segment bytes, which embed dl.)
-    stats = corpus_stats(doc_lengths_arith(docs, cfg))
+    # (n_docs, avgdl) come from the Observation piggybacked on the
+    # encoder job inside prepare_docs — ZERO extra job barriers; the
+    # integer window sum divided by the count reproduces Spark's
+    # avg(long) bit-for-bit.
+    if artifacts.size_obs is not None:
+        from math import comb
+
+        vals = artifacts.size_obs.get
+        n_docs = int(vals["n_docs"])
+        combos = comb(cfg.ngram, cfg.ngram - cfg.n_out)
+        total = combos * int(vals["sum_windows"] or 0)
+        stats = CorpusStats(
+            n_docs=n_docs, avgdl=(float(total) / n_docs) if n_docs else 0.0
+        )
+    else:  # pinned-artifact path: one small aggregate job
+        stats = corpus_stats(doc_lengths_arith(docs, cfg))
     feat = add_features(docs, artifacts, cfg)
     scored = scored_postings_direct(feat, stats, cfg.bm25_k1, cfg.bm25_b)
     segments = build_segments_direct(
