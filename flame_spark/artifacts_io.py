@@ -26,30 +26,38 @@ def save_artifacts(artifacts: CorpusArtifacts, path: str) -> None:
             "unknown_chr": artifacts.norm.unknown_chr,
         },
         "bpe": artifacts.bpe.to_dict() if artifacts.bpe else None,
+        # distributed-encoder artifacts (vocab > max_collect_vocab, or
+        # the incremental OOV-extend path) persist the token->id table
+        # as parquet next to this file, not JSON: encoder is null here
+        # and the loader re-attaches the table via ``vocab_df``.
         "encoder": artifacts.encoder,
         "vocab_size": artifacts.vocab_size,
         "n_vocab": artifacts.n_vocab,
+        "hash_base": artifacts.hash_base,
     }
-    if artifacts.encoder is None:
-        raise ValueError(
-            "distributed-encoder artifacts (vocab > max_collect_vocab) "
-            "persist their vocab as a table, not JSON — write "
-            "artifacts.encoder_df to the warehouse instead"
-        )
     with open(path, "w", encoding="utf-8") as f:
         json.dump(payload, f)
 
 
-def load_artifacts(path: str) -> CorpusArtifacts:
+def load_artifacts(path: str, vocab_df=None) -> CorpusArtifacts:
+    """``vocab_df``: DataFrame(tok, tid) to attach as the distributed
+    encoder when the JSON holds no collected one (or to override it)."""
     with open(path, encoding="utf-8") as f:
         payload = json.load(f)
     norm = NormArtifacts(**payload["norm"])
     bpe = BpeModel.from_dict(payload["bpe"]) if payload["bpe"] else None
-    encoder = {k: int(v) for k, v in payload["encoder"].items()}
+    encoder = (
+        {k: int(v) for k, v in payload["encoder"].items()}
+        if payload["encoder"] is not None
+        else None
+    )
+    n_vocab = int(payload.get("n_vocab", len(encoder or {})))
     return CorpusArtifacts(
         norm=norm,
         bpe=bpe,
-        encoder=encoder,
+        encoder=encoder if vocab_df is None else None,
         vocab_size=int(payload["vocab_size"]),
-        n_vocab=int(payload.get("n_vocab", len(encoder))),
+        encoder_df=vocab_df,
+        n_vocab=n_vocab,
+        hash_base=int(payload.get("hash_base", 0)),
     )

@@ -242,7 +242,7 @@ def _hash_windows_flat(
     return out_lists
 
 
-def make_shingle_udf(encoder_bc, ngram: int, n_out: int):
+def make_shingle_udf(encoder_bc, ngram: int, n_out: int, base: int | None = None):
     """Batch-vectorized LNO shingle: the whole Arrow batch is flattened
     to one token array, encoded with ONE searchsorted against the
     sorted vocab (unknowns dropped, flame.py:686-687), and hashed via
@@ -260,12 +260,15 @@ def make_shingle_udf(encoder_bc, ngram: int, n_out: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def shingle(tokens: pd.Series) -> pd.Series:
         encoder: dict[str, int] = encoder_bc.value
-        V = len(encoder)
+        # rolling-hash base: vocab size by default; a caller-pinned base
+        # (incremental OOV-extend mode) keeps term hashes stable while
+        # the vocabulary grows across ingests
+        V = base if base else len(encoder)
         keep = ngram - n_out
         n_rows = len(tokens)
         if n_rows == 0:
             return pd.Series([], dtype=object)
-        if V == 0 or keep < 1:
+        if V == 0 or len(encoder) == 0 or keep < 1:
             return pd.Series([[] for _ in range(n_rows)])
 
         vocab_arr = np.array(sorted(encoder), dtype=object)
@@ -409,6 +412,12 @@ class CorpusArtifacts:
     # 'sum_windows'} — lets fastbuild derive (n_docs, avgdl) with zero
     # extra job barriers. None on the pinned-artifact path.
     size_obs: object | None = None
+    # LNO rolling-hash base. 0 = "vocab size" (the default, reference
+    # parity). The incremental indexer's OOV-extend mode PINS this at
+    # initial build so term hashes stay stable while the vocabulary
+    # grows across ingests (corpus tokens minted above the pinned
+    # range would otherwise change every window hash).
+    hash_base: int = 0
 
     def lookup_ids(self, tokens: list[str]) -> dict[str, int]:
         """token -> id for a BOUNDED token list (e.g. one query's
@@ -631,10 +640,20 @@ def add_features(
     sc = docs.sparkSession.sparkContext
     if artifacts.encoder is not None:
         encoder_bc = sc.broadcast(artifacts.encoder)
-        shingle = make_shingle_udf(encoder_bc, cfg.ngram, cfg.n_out)
+        shingle = make_shingle_udf(
+            encoder_bc, cfg.ngram, cfg.n_out, base=artifacts.hash_base or None
+        )
         return docs.withColumn("features", shingle(F.col("tokens")))
+    if artifacts.encoder_df is None:
+        raise ValueError(
+            "add_features: artifacts carry neither a collected encoder "
+            "nor a distributed vocab (encoder_df) — attach one "
+            "(incremental warehouses persist it under vocab/)"
+        )
     with_ids = encode_tokens_joined(docs, artifacts.encoder_df)
-    shingle_ids = make_shingle_from_ids_udf(artifacts.n_vocab, cfg.ngram, cfg.n_out)
+    shingle_ids = make_shingle_from_ids_udf(
+        artifacts.hash_base or artifacts.n_vocab, cfg.ngram, cfg.n_out
+    )
     return with_ids.withColumn("features", shingle_ids(F.col("token_ids"))).drop(
         "token_ids"
     )

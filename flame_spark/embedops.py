@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
@@ -278,6 +280,14 @@ def embed_cosine_pairs_blocked(
     )
     rep = a_side.unionByName(b_side)
 
+    # strip-wise score matrix: the S = A_norm @ B_norm.T temp is the
+    # per-task memory blow-up at extreme N (a block of r rows makes an
+    # r*r float64 matrix — 13 GB at r=40960), so compute it in row
+    # strips of at most `strip` rows: peak temp is strip*r*8 bytes
+    # regardless of how far past block_target_rows the grid cap lets a
+    # block grow. Input rows stay linear in N/B (vec dim * 8 each).
+    strip = max(256, int(os.environ.get("FLAME_EMBED_STRIP_ROWS", "8192")))
+
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -286,29 +296,50 @@ def embed_cosine_pairs_blocked(
                 "cosine": pd.Series([], dtype="float64"),
             }
         )
+        if not len(pdf):
+            return empty
+        # the group KEY decides diagonal-ness, never row presence: an
+        # off-diagonal cell (bi, bj) can exist from a-side replication
+        # alone when block bj holds no vectors (sparse vec_ids, or
+        # n_blocks above the distinct residue count) and must emit
+        # nothing — treating it as diagonal would re-emit block bi's
+        # intra-block pairs once per empty higher block.
+        diag = bool(pdf["bi"].iloc[0] == pdf["bj"].iloc[0])
         a = pdf[pdf["side"] == "a"]
         if not len(a):
             return empty
         ids_a = a["vec_id"].to_numpy(dtype=np.int64)
         A = np.stack(a["vec"].to_numpy()).astype(np.float64)
-        b = pdf[pdf["side"] == "b"]
-        diag = not len(b)
         if diag:
             ids_b, Bm = ids_a, A
         else:
+            b = pdf[pdf["side"] == "b"]
+            if not len(b):
+                return empty
             ids_b = b["vec_id"].to_numpy(dtype=np.int64)
             Bm = np.stack(b["vec"].to_numpy()).astype(np.float64)
         na = np.linalg.norm(A, axis=1)
         nb = na if diag else np.linalg.norm(Bm, axis=1)
-        S = (A / np.where(na > 0, na, 1.0)[:, None]) @ (
-            Bm / np.where(nb > 0, nb, 1.0)[:, None]
-        ).T
-        mask = S >= (thr - eps)
-        if diag:
-            mask &= np.tri(len(ids_a), k=-1, dtype=bool).T  # strict upper
-        ii, jj = np.nonzero(mask)
-        if not ii.size:
+        An = A / np.where(na > 0, na, 1.0)[:, None]
+        Bn = (Bm / np.where(nb > 0, nb, 1.0)[:, None]).T
+        ii_parts, jj_parts = [], []
+        for s0 in range(0, len(ids_a), strip):
+            s1 = min(s0 + strip, len(ids_a))
+            S = An[s0:s1] @ Bn
+            mask = S >= (thr - eps)
+            if diag:
+                # strict upper triangle of the full matrix, strip view
+                cols = np.arange(len(ids_b))[None, :]
+                rows = np.arange(s0, s1)[:, None]
+                mask &= cols > rows
+            si, sj = np.nonzero(mask)
+            if si.size:
+                ii_parts.append(si + s0)
+                jj_parts.append(sj)
+        if not ii_parts:
             return empty
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
         # exact re-score in oracle fold order on the survivors only
         Ga, Gb = A[ii], Bm[jj]
         cos = _seq_dot(Ga, Gb) / (_seq_norm(Ga) * _seq_norm(Gb))

@@ -170,18 +170,28 @@ def build_serving_index(raw_docs: DataFrame, cfg: FlameConfig) -> ServingIndex:
     # encoder job inside prepare_docs — ZERO extra job barriers; the
     # integer window sum divided by the count reproduces Spark's
     # avg(long) bit-for-bit.
-    if artifacts.size_obs is not None:
-        from math import comb
-
-        vals = artifacts.size_obs.get
-        n_docs = int(vals["n_docs"])
-        combos = comb(cfg.ngram, cfg.ngram - cfg.n_out)
-        total = combos * int(vals["sum_windows"] or 0)
-        stats = CorpusStats(
-            n_docs=n_docs, avgdl=(float(total) / n_docs) if n_docs else 0.0
+    if artifacts.size_obs is None:
+        # prepare_docs without pinned artifacts always attaches the
+        # Observation, so this is unreachable here. It stays a hard
+        # error rather than a fallback on purpose: a pinned-artifact
+        # variant of this fast path could NOT use the token-count
+        # arithmetic below (doc_lengths_arith) — pinned vocabularies
+        # can have OOV tokens that drop from LNO windows, so dl must
+        # come from the actual features column (postings.doc_lengths),
+        # i.e. the general pipeline.build_index path.
+        raise ValueError(
+            "build_serving_index trains its own artifacts; for pinned "
+            "artifacts use pipeline.build_index (exact dl under OOV)"
         )
-    else:  # pinned-artifact path: one small aggregate job
-        stats = corpus_stats(doc_lengths_arith(docs, cfg))
+    from math import comb
+
+    vals = artifacts.size_obs.get
+    n_docs = int(vals["n_docs"])
+    combos = comb(cfg.ngram, cfg.ngram - cfg.n_out)
+    total = combos * int(vals["sum_windows"] or 0)
+    stats = CorpusStats(
+        n_docs=n_docs, avgdl=(float(total) / n_docs) if n_docs else 0.0
+    )
     feat = add_features(docs, artifacts, cfg)
     scored = scored_postings_direct(feat, stats, cfg.bm25_k1, cfg.bm25_b)
     segments = build_segments_direct(

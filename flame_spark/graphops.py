@@ -2,29 +2,91 @@
 
 Near-dup PAIRS (embedding cosine, MinHash-LSH, Jaccard) are only half
 of deduplication: the training-data pipeline needs GROUPS — transitive
-closures of the pair relation — and one keeper per group. This module
-computes components with iterative minimum-label propagation:
+closures of the pair relation — and one keeper per group.
 
-    label(v) <- min(label(v), min over neighbors u of label(u))
+Default algorithm: alternating large-star / small-star (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond", SoCC 2014). Each round is two grouped-min +
+join passes over the edge set; the edge set converges to one star per
+component rooted at the component's minimum node id in O(log n) rounds
+even on adversarial chain-shaped graphs (label propagation, kept here
+as ``algorithm="label"``, needs O(diameter) rounds — fine for
+dedup-shaped clusters, pathological for chains). Determinism: the
+component id is the MINIMUM member id, so output is independent of
+partitioning and iteration order.
 
-repeated until a fixpoint. Each round is two hash joins + one
-aggregation (all DataFrame ops); the round count is bounded by the
-graph diameter (near-dup clusters are tiny and dense, so 2-4 rounds in
-practice; the classic alternating large-star/small-star optimization
-drops the bound to O(log n) rounds on adversarial chains — noted here,
-not needed for dedup-shaped graphs). Determinism: the component id is
-the MINIMUM member id, so output is independent of partitioning and
-iteration order. Each round materializes via localCheckpoint to cut
-the growing lineage (a real run at 10^9 edges would persist to the
-warehouse instead).
-
-The fixpoint is detected with a changed-row count — one tiny aggregate
-per round.
+Convergence is detected by (count, order-independent checksum) of the
+canonical edge set — two tiny aggregates per round, no set-difference
+shuffle. Non-convergence within ``max_rounds`` RAISES rather than
+returning partially-propagated (wrong) labels. Each round materializes
+via localCheckpoint to cut the growing lineage (a real run at 10^9
+edges would persist to the warehouse instead).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _edge_sig(e: DataFrame) -> tuple[int, int]:
+    """(count, order-independent checksum) of the (lo, hi) edge set.
+    xxhash64 per edge summed as decimal(38,0): Spark 4 ANSI mode
+    overflows long sums hard, decimal does not."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _star_rounds(edges_lo_hi: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
+    """Run alternating large-star/small-star until the edge set is a
+    fixpoint (a min-rooted star per component). Returns (edges, rounds
+    used). Raises on non-convergence."""
+    e = edges_lo_hi.localCheckpoint()
+    sig = _edge_sig(e)
+    for rnd in range(1, max_rounds + 1):
+        # large-star: for each node u with m = min({u} ∪ N(u)), connect
+        # every strictly larger neighbor v > u to m. m <= u < v, so the
+        # emitted edge is canonically (lo=m, hi=v).
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # small-star: direct each edge from its larger endpoint u to the
+        # smaller v; with m = min of u's smaller neighbors, connect all
+        # those neighbors AND u itself to m. m <= v < u throughout.
+        g = ls.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        mn = g.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            g.join(mn, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .union(mn.select(F.col("m").alias("lo"), F.col("u").alias("hi")))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        new_e = ss.localCheckpoint()
+        new_sig = _edge_sig(new_e)
+        e = new_e
+        if new_sig == sig:
+            return e, rnd
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components(star) did not converge in {max_rounds} rounds"
+    )
 
 
 def connected_components(
@@ -34,22 +96,70 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
     """nodes(id), edges(src, dst) -> (id, component) with component =
     min node id reachable. Singleton nodes keep their own id."""
-    # undirected: propagate along both directions
-    und = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).union(
-        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-    ).distinct().persist()
+    labels, _ = connected_components_with_rounds(
+        nodes, edges, id_col, src_col, dst_col, max_rounds, algorithm
+    )
+    return labels
 
+
+def connected_components_with_rounds(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+    algorithm: str = "star",
+) -> tuple[DataFrame, int]:
+    """As ``connected_components`` but also reports the shuffle-round
+    count (the testable O(log n) bound of the star algorithm)."""
+    if algorithm == "star":
+        canon = (
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        stars, rounds = _star_rounds(canon, max_rounds)
+        comp = stars.groupBy(F.col("hi").alias("id")).agg(
+            F.min("lo").alias("component")
+        )
+        labels = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(comp, "id", "left")
+            .select(
+                "id", F.coalesce("component", F.col("id")).alias("component")
+            )
+        )
+        return labels, rounds
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    # minimum-label propagation: label(v) <- min(label(v), min over
+    # neighbors). Rounds bounded by component DIAMETER — kept as the
+    # low-constant-factor path for provably shallow graphs and as the
+    # differential twin for tests.
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint()
-
+    rounds = 0
+    converged = False
     for _ in range(max_rounds):
-        # neighbor-minimum per node
+        rounds += 1
         nbr = (
             und.join(labels, und["b"] == labels["id"])
             .groupBy(F.col("a").alias("id"))
@@ -73,9 +183,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     und.unpersist()
-    return labels
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(label) did not converge in {max_rounds} "
+            "rounds (component deeper than the round budget) — partial "
+            "labels would be silently wrong, so refuse instead"
+        )
+    return labels, rounds
 
 
 def dedup_groups(

@@ -23,14 +23,32 @@ byte-identical to building from scratch on the union corpus
 
 Append contract (asserted): new conv_ids sort AFTER every ingested
 conv_id (time-ordered conversation ids), so incrementally-assigned
-dense doc ids equal the full-rebuild global sort order. Artifacts are
-PINNED from the initial build (a production incremental index never
-retrains its tokenizer mid-stream): out-of-vocabulary tokens either
-refuse the batch (strict default) or drop from the LNO windows —
-the reference's own unknown-token semantics (flame.py:686-687). The
-byte-equality target is therefore a pinned-artifact full rebuild
-(pipeline.build_index(..., artifacts=...)); a retraining rebuild
-changes the feature space by design.
+dense doc ids equal the full-rebuild global sort order. NORMALIZATION
+artifacts are PINNED from the initial build (a production incremental
+index never retrains its tokenizer mid-stream); out-of-vocabulary
+tokens are handled per ``on_oov``:
+
+  "error"  refuse the batch (strict; operator decides drop vs rebuild)
+  "drop"   drop from the LNO windows — the reference's own
+           unknown-token semantics (flame.py:686-687)
+  "extend" mint dense ids for the new tokens ABOVE the current vocab
+           range (deterministic: sorted within the batch) and append
+           them to the warehouse vocab table. Real transcript streams
+           mint new tokens daily, so this is the production default
+           shape. Term hashes stay stable across ingests because the
+           LNO rolling-hash base is PINNED at initial build
+           (state["hash_base"], default 2^32 in extend-capable
+           warehouses) instead of tracking the growing vocab size; df/
+           idf refresh at merge exactly like every other append.
+
+The byte-equality target is a pinned-artifact full rebuild
+(pipeline.build_index(..., artifacts=...)) — for "extend", pinned
+means the FINAL extended vocabulary + pinned base
+(``load_serving_artifacts``); a retraining rebuild changes the feature
+space by design. The token->id table itself is persisted as parquet
+(vocab/ingest=N) so unbounded vocabularies never touch the driver; the
+joined-encoder path (corpus.encode_tokens_joined) is used whenever the
+vocabulary is not collected.
 
 Streaming tie-in: ``ingest_stream`` wires a Structured Streaming file
 source through ``foreachBatch`` into ``ingest`` — the canonical
@@ -61,9 +79,15 @@ TRANSCRIPT_KEY = ["conv_id", "turn_idx"]
 
 
 class IncrementalIndexer:
-    def __init__(self, root: str, cfg: FlameConfig):
+    def __init__(self, root: str, cfg: FlameConfig, hash_base: int | None = None):
+        """``hash_base``: LNO rolling-hash base pinned at initial build.
+        None = the initial vocabulary size (bit-compatible with a plain
+        batch build, but an "extend" ingest then mints ids >= base —
+        still correct and equality-tested, with a slightly higher term-
+        hash collision rate). Extend-heavy deployments pass 2**32."""
         self.root = root
         self.cfg = cfg
+        self.hash_base = hash_base
         self.warehouse = SegmentWarehouse(root)
         os.makedirs(root, exist_ok=True)
 
@@ -83,6 +107,28 @@ class IncrementalIndexer:
     def _doclens_dir(self, ingest: int) -> str:
         return os.path.join(self.root, "doclens", f"ingest={ingest}")
 
+    def _vocab_dir(self, ingest: int) -> str:
+        return os.path.join(self.root, "vocab", f"ingest={ingest}")
+
+    def _vocab_df(self, spark: SparkSession):
+        """Full token->id table (tok, tid) across all ingests."""
+        return spark.read.parquet(os.path.join(self.root, "vocab"))
+
+    def load_serving_artifacts(self, spark: SparkSession) -> CorpusArtifacts:
+        """Pinned artifacts reflecting the CURRENT vocabulary — the
+        query-path / rebuild-equality view of the warehouse. Collected
+        encoders come back as dicts; extend-mode / unbounded vocabs
+        attach the distributed vocab table."""
+        state = self._load_state()
+        art = load_artifacts(self.artifacts_path)
+        if art.encoder is None:
+            art = load_artifacts(
+                self.artifacts_path, vocab_df=self._vocab_df(spark)
+            )
+        art.n_vocab = int(state["n_vocab"])
+        art.hash_base = int(state["hash_base"])
+        return art
+
     def _load_state(self) -> dict:
         with open(self.state_path, encoding="utf-8") as f:
             return json.load(f)
@@ -95,39 +141,61 @@ class IncrementalIndexer:
 
     def initial_build(self, raw: DataFrame) -> None:
         """raw(conv_id, turn_idx, text, ...) -> artifacts + ingest 0."""
-        tdf = add_doc_id(raw, TRANSCRIPT_KEY).select("doc_id", "text")
-        docs, artifacts = prepare_docs(tdf, self.cfg)
-        if artifacts.encoder is None:
-            raise ValueError(
-                "incremental indexer requires a collected encoder "
-                "(raise cfg.max_collect_vocab)"
-            )
-        save_artifacts(artifacts, self.artifacts_path)
         agg = raw.agg(
             F.max("conv_id").alias("m"), F.count("*").alias("n")
         ).collect()[0]
+        if int(agg["n"]) == 0:
+            # an empty initial build has no artifacts to learn and a
+            # None watermark that would poison later ingests — refuse
+            raise ValueError("initial_build: empty corpus")
+        tdf = add_doc_id(raw, TRANSCRIPT_KEY).select("doc_id", "text")
+        docs, artifacts = prepare_docs(tdf, self.cfg)
+        artifacts.hash_base = int(
+            self.hash_base if self.hash_base is not None else artifacts.n_vocab
+        )
+        save_artifacts(artifacts, self.artifacts_path)
+        # the token->id table lives in the warehouse as parquet — the
+        # single source of truth that unbounded-vocab and extend-mode
+        # ingests append to (a collected dict is just its fast cache)
+        spark = raw.sparkSession
+        if artifacts.encoder is not None:
+            vocab = spark.createDataFrame(
+                [(t, i) for t, i in artifacts.encoder.items()],
+                "tok string, tid long",
+            )
+        else:
+            vocab = artifacts.encoder_df.select("tok", "tid")
+        vocab.write.mode("overwrite").parquet(self._vocab_dir(0))
         self._write_ingest(docs, artifacts, 0)
         # doc ids are assigned over RAW rows (before the min-length
         # filter), exactly like the full-rebuild path — the offset must
         # therefore advance by the raw row count
         self._save_state(
-            {"next_doc_id": int(agg["n"]), "n_ingests": 1, "max_conv_id": agg["m"]}
+            {
+                "next_doc_id": int(agg["n"]),
+                "n_ingests": 1,
+                "max_conv_id": agg["m"],
+                "n_vocab": int(artifacts.n_vocab),
+                "hash_base": int(artifacts.hash_base),
+            }
         )
 
     def ingest(self, new_raw: DataFrame, on_oov: str = "error") -> int:
         """Append new conversations; returns the ingest number.
 
         Enforces the append contract (conv ids after the watermark).
-        ``on_oov``: tokens outside the pinned vocabulary either refuse
-        the batch ("error", the strict default — the operator decides
-        between dropping and a retrain+rebuild) or drop from the LNO
-        windows ("drop" — the reference's own unknown-token semantics,
-        flame.py:686-687, and what a production pinned tokenizer does).
-        """
-        if on_oov not in ("error", "drop"):
-            raise ValueError(f"on_oov must be 'error' or 'drop', got {on_oov!r}")
+        ``on_oov`` decides what happens to tokens outside the current
+        vocabulary: "error" (strict default), "drop" (reference
+        unknown-token semantics), or "extend" (mint ids above the
+        current range and append to the warehouse vocab — see module
+        docstring)."""
+        if on_oov not in ("error", "drop", "extend"):
+            raise ValueError(
+                f"on_oov must be 'error', 'drop' or 'extend', got {on_oov!r}"
+            )
+        spark = new_raw.sparkSession
         state = self._load_state()
-        artifacts = load_artifacts(self.artifacts_path)
+        artifacts = self.load_serving_artifacts(spark)
         low = new_raw.agg(F.min("conv_id").alias("m")).collect()[0]["m"]
         if low is None:
             return state["n_ingests"] - 1  # empty batch
@@ -141,42 +209,110 @@ class IncrementalIndexer:
             "doc_id", F.col("doc_id") + F.lit(int(state["next_doc_id"]))
         )
         docs, _ = prepare_docs(tdf, self.cfg, artifacts)
+        ingest_no = state["n_ingests"]
         if on_oov == "error":
             self._check_vocab_closure(docs, artifacts)
-        ingest_no = state["n_ingests"]
+        elif on_oov == "extend":
+            artifacts = self._extend_vocab(docs, artifacts, state, ingest_no)
         self._write_ingest(docs, artifacts, ingest_no)
         agg = new_raw.agg(
             F.max("conv_id").alias("m"), F.count("*").alias("n")
         ).collect()[0]
         state["next_doc_id"] = int(state["next_doc_id"]) + int(agg["n"])
         state["n_ingests"] = ingest_no + 1
-        state["max_conv_id"] = max(state["max_conv_id"], agg["m"])
+        state["max_conv_id"] = (
+            agg["m"]
+            if state["max_conv_id"] is None
+            else max(state["max_conv_id"], agg["m"])
+        )
         self._save_state(state)
         return ingest_no
+
+    def _new_tokens_df(self, docs: DataFrame, artifacts: CorpusArtifacts):
+        """Distinct batch tokens not in the current vocabulary — one
+        anti-join against the warehouse vocab table (or the collected
+        dict re-expressed as one small DataFrame)."""
+        spark = docs.sparkSession
+        if artifacts.encoder_df is not None:
+            vocab_df = artifacts.encoder_df.select("tok")
+        else:
+            vocab_df = spark.createDataFrame(
+                [(t,) for t in artifacts.encoder], "tok string"
+            )
+        return (
+            docs.select(F.explode("tokens").alias("tok"))
+            .distinct()
+            .join(vocab_df, "tok", "left_anti")
+        )
 
     def _check_vocab_closure(
         self, docs: DataFrame, artifacts: CorpusArtifacts
     ) -> None:
         """Refuse batches with tokens outside the pinned vocabulary
-        (strict mode): anti-join against the vocab — distributed, the
-        vocab df is one createDataFrame of the O(vocab) driver-held
-        strings the pinned artifacts already hold."""
-        vocab_df = docs.sparkSession.createDataFrame(
-            [(t,) for t in artifacts.encoder], "tok string"
-        )
-        oov = (
-            docs.select(F.explode("tokens").alias("tok"))
-            .distinct()
-            .join(vocab_df, "tok", "left_anti")
-            .limit(5)
-            .collect()
-        )
+        (strict mode)."""
+        oov = self._new_tokens_df(docs, artifacts).limit(5).collect()
         if oov:
             raise ValueError(
                 "vocabulary-extending append (new tokens "
-                f"{[r['tok'] for r in oov]}); retrain+rebuild, or pass "
-                "on_oov='drop' to index with the pinned vocabulary"
+                f"{[r['tok'] for r in oov]}); retrain+rebuild, pass "
+                "on_oov='drop' to index with the pinned vocabulary, or "
+                "on_oov='extend' to mint ids for them"
             )
+
+    def _extend_vocab(
+        self,
+        docs: DataFrame,
+        artifacts: CorpusArtifacts,
+        state: dict,
+        ingest_no: int,
+    ) -> CorpusArtifacts:
+        """Mint dense ids for the batch's unseen tokens above the
+        current vocab range (sorted within the batch — deterministic),
+        append them to the warehouse vocab table, and return artifacts
+        reflecting the extended vocabulary. Nothing corpus-sized
+        touches the driver; the collected-dict fast path is kept only
+        while the total stays under cfg.max_collect_vocab."""
+        from dataclasses import replace
+
+        spark = docs.sparkSession
+        offset = int(state["n_vocab"])
+        new_vocab = add_doc_id(self._new_tokens_df(docs, artifacts), ["tok"])
+        new_vocab = new_vocab.select(
+            "tok", (F.col("doc_id") + F.lit(offset)).alias("tid")
+        ).persist()
+        n_new = new_vocab.count()
+        if n_new == 0:
+            new_vocab.unpersist()
+            return artifacts
+        new_vocab.write.mode("overwrite").parquet(self._vocab_dir(ingest_no))
+        new_vocab.unpersist()
+        state["n_vocab"] = offset + n_new
+        if (
+            artifacts.encoder is not None
+            and state["n_vocab"] <= self.cfg.max_collect_vocab
+        ):
+            added = {
+                r["tok"]: int(r["tid"])
+                for r in spark.read.parquet(self._vocab_dir(ingest_no)).collect()
+            }
+            ext = replace(
+                artifacts,
+                encoder={**artifacts.encoder, **added},
+                n_vocab=state["n_vocab"],
+            )
+        else:
+            # vocabulary outgrew the collect cap (or never was
+            # collected): switch this warehouse to the joined-encoder
+            # path permanently — null the JSON dict so every later
+            # reader goes through the parquet vocab table
+            ext = replace(
+                artifacts,
+                encoder=None,
+                encoder_df=self._vocab_df(spark),
+                n_vocab=state["n_vocab"],
+            )
+        save_artifacts(ext, self.artifacts_path)
+        return ext
 
     def _write_ingest(
         self, docs: DataFrame, artifacts: CorpusArtifacts, ingest_no: int

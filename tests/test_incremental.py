@@ -70,6 +70,107 @@ def test_stream_append_merge_equals_full_rebuild(spark, tmp_path):
     full.unpersist()
 
 
+def test_extend_ingest_merge_equals_full_rebuild(spark, tmp_path):
+    """OOV-TOLERANT ingest (on_oov='extend'): appended batches mint ids
+    for unseen tokens above the pinned range; the merged index must be
+    byte-identical to a full rebuild over the union with the FINAL
+    extended vocabulary + pinned hash base."""
+    full = transcripts_df(spark, 20, 8).persist()
+    initial = full.filter(F.col("conv_id") < "conv000012")
+    append1 = full.filter(
+        (F.col("conv_id") >= "conv000012") & (F.col("conv_id") < "conv000016")
+    )
+    append2 = full.filter(F.col("conv_id") >= "conv000016")
+
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG, hash_base=2**32)
+    idx.initial_build(initial)
+    v0 = idx._load_state()["n_vocab"]
+    idx.ingest(append1, on_oov="extend")
+    v1 = idx._load_state()["n_vocab"]
+    assert v1 > v0, "generator's perturbed words must mint new tokens"
+    idx.ingest(append2, on_oov="extend")
+    assert idx._load_state()["n_vocab"] > v1
+    merged = _seg_map(idx.merge_segments(spark).collect())
+
+    pinned = idx.load_serving_artifacts(spark)
+    assert pinned.hash_base == 2**32
+    rebuilt_index = build_index(
+        add_doc_id(full, ["conv_id", "turn_idx"]).select("doc_id", "text"),
+        CFG, artifacts=pinned,
+    )
+    rebuilt = _seg_map(build_segment_table(rebuilt_index).collect())
+    assert merged == rebuilt
+    assert len(merged) > 50
+    full.unpersist()
+
+
+def test_extend_ingest_joined_encoder_mode(spark, tmp_path):
+    """Unbounded-vocabulary warehouses (vocab > max_collect_vocab, so
+    no collected dict ever exists) must support extend-ingest end to
+    end through the joined-encoder path, byte-equal to a pinned full
+    rebuild."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, max_collect_vocab=10)
+    full = transcripts_df(spark, 12, 6).persist()
+    initial = full.filter(F.col("conv_id") < "conv000008")
+    append = full.filter(F.col("conv_id") >= "conv000008")
+
+    idx = IncrementalIndexer(str(tmp_path / "wh"), cfg)
+    idx.initial_build(initial)
+    from flame_spark.artifacts_io import load_artifacts
+
+    assert load_artifacts(idx.artifacts_path).encoder is None  # joined mode
+    idx.ingest(append, on_oov="extend")
+    merged = _seg_map(idx.merge_segments(spark).collect())
+
+    rebuilt_index = build_index(
+        add_doc_id(full, ["conv_id", "turn_idx"]).select("doc_id", "text"),
+        cfg, artifacts=idx.load_serving_artifacts(spark),
+    )
+    rebuilt = _seg_map(build_segment_table(rebuilt_index).collect())
+    assert merged == rebuilt
+    full.unpersist()
+
+
+def test_collected_encoder_spills_to_joined_on_extend(spark, tmp_path):
+    """A warehouse that STARTS collected but outgrows max_collect_vocab
+    on an extending ingest must permanently switch to the parquet vocab
+    table (JSON encoder nulled) and stay correct."""
+    from dataclasses import replace
+
+    from flame_spark.artifacts_io import load_artifacts
+
+    full = transcripts_df(spark, 12, 6).persist()
+    initial = full.filter(F.col("conv_id") < "conv000008")
+    append = full.filter(F.col("conv_id") >= "conv000008")
+
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(initial)
+    art0 = load_artifacts(idx.artifacts_path)
+    assert art0.encoder is not None
+    # shrink the cap below what the extension will need
+    idx.cfg = replace(CFG, max_collect_vocab=art0.n_vocab + 1)
+    idx.ingest(append, on_oov="extend")
+    assert load_artifacts(idx.artifacts_path).encoder is None
+    merged = _seg_map(idx.merge_segments(spark).collect())
+
+    rebuilt_index = build_index(
+        add_doc_id(full, ["conv_id", "turn_idx"]).select("doc_id", "text"),
+        CFG, artifacts=idx.load_serving_artifacts(spark),
+    )
+    rebuilt = _seg_map(build_segment_table(rebuilt_index).collect())
+    assert merged == rebuilt
+    full.unpersist()
+
+
+def test_empty_initial_build_rejected(spark, tmp_path):
+    raw = transcripts_df(spark, 4, 4).filter(F.lit(False))
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    with pytest.raises(ValueError, match="empty corpus"):
+        idx.initial_build(raw)
+
+
 def test_merge_is_idempotent_and_resumable(spark, tmp_path):
     """Re-merging with no new ingests must not duplicate or change
     anything (lineage skips completed shards for the same snapshot)."""

@@ -155,6 +155,70 @@ def test_blocked_embed_pairs_equal_allpairs(spark):
     assert len(base) > 100  # non-trivial pair set at sf0.001
 
 
+def test_blocked_embed_pairs_sparse_ids_and_empty_blocks(spark):
+    """Regression: an off-diagonal cell (bi, bj) whose b-block holds no
+    vectors (sparse vec_ids / n_blocks above the residue count) must
+    emit NOTHING — the old kernel inferred 'diagonal' from b-side
+    absence and re-emitted block bi's intra-block pairs once per empty
+    higher block (duplicate pairs that would corrupt dedup groups)."""
+    from flame_spark.embedops import (
+        embed_cosine_pairs_allpairs,
+        embed_cosine_pairs_blocked,
+        load_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_embeddings(spark, SF).select("vec_id", "vec")
+    # all ids ≡ 1 (mod 5): with n_blocks=5, blocks 0/2/3/4 are empty, so
+    # cells (1,2) (1,3) (1,4) exist from a-side replication alone
+    sparse = emb.select((F.col("vec_id") * 5 + 1).alias("vec_id"), "vec")
+    base = sorted(
+        tuple(r) for r in embed_cosine_pairs_allpairs(sparse, 0.35).collect()
+    )
+    blk = sorted(
+        tuple(r)
+        for r in embed_cosine_pairs_blocked(sparse, 0.35, n_blocks=5).collect()
+    )
+    assert blk == base
+    # n_blocks far above N: most cells degenerate, result still exact
+    tiny = emb.limit(12)
+    base_t = sorted(
+        tuple(r) for r in embed_cosine_pairs_allpairs(tiny, 0.35).collect()
+    )
+    blk_t = sorted(
+        tuple(r)
+        for r in embed_cosine_pairs_blocked(tiny, 0.35, n_blocks=64).collect()
+    )
+    assert blk_t == base_t
+
+
+def test_blocked_embed_pairs_strip_budget(spark, monkeypatch):
+    """Memory-safe grid at extreme N: with a forced tiny strip budget
+    the kernel computes the score matrix in bounded row strips and the
+    output stays value-identical — per-task temp is strip*r*8 bytes
+    even when a block grows past block_target_rows."""
+    from flame_spark import embedops
+    from flame_spark.embedops import (
+        embed_cosine_pairs_allpairs,
+        load_embeddings,
+    )
+
+    monkeypatch.setenv("FLAME_EMBED_STRIP_ROWS", "256")
+    emb = load_embeddings(spark, SF).select("vec_id", "vec")
+    base = sorted(
+        tuple(r) for r in embed_cosine_pairs_allpairs(emb, 0.35).collect()
+    )
+    # n_blocks=1 → one 500-row diagonal cell at sf0.001; strip=256
+    # forces two strips through the score matrix
+    blk = sorted(
+        tuple(r)
+        for r in embedops.embed_cosine_pairs_blocked(
+            emb, 0.35, n_blocks=1
+        ).collect()
+    )
+    assert blk == base
+
+
 def test_lsh_near_dup_exact_on_clustered_fixture(spark):
     """At a real near-dup threshold on clustered data the banded-LSH
     path must (a) recover the exact brute-force pair set and (b) prune:
@@ -324,12 +388,47 @@ def test_connected_components_vs_bfs_oracle(spark):
 
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
     edf = spark.createDataFrame(edges, "src long, dst long")
-    got = {
-        r["id"]: r["component"]
-        for r in connected_components(nodes, edf).collect()
-    }
-    assert got == expected
+    for algorithm in ("star", "label"):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                nodes, edf, algorithm=algorithm
+            ).collect()
+        }
+        assert got == expected, algorithm
 
     groups = dedup_groups(nodes, edf, "id", "src", "dst").collect()
     keepers = {r["id"] for r in groups if r["is_keeper"]}
     assert keepers == set(expected.values())
+
+
+def test_connected_components_chain_round_bound(spark):
+    """Adversarial 200-node chain: the alternating large-star/small-star
+    algorithm must converge in O(log n) shuffle rounds (label
+    propagation needs O(n) = 200 here, and must now RAISE rather than
+    silently return partially-propagated labels when its round budget
+    is exceeded)."""
+    import math
+
+    import pytest
+
+    from flame_spark.graphops import connected_components_with_rounds
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    # shuffle the ids along the chain so neither endpoint is the min
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(n)
+    edges = [(int(perm[i]), int(perm[i + 1])) for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    labels, rounds = connected_components_with_rounds(nodes, edf)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # O(log n): 2*ceil(log2 n) + a couple of settle/fixpoint rounds
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 3, rounds
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_with_rounds(
+            nodes, edf, algorithm="label", max_rounds=10
+        )
