@@ -126,7 +126,15 @@ def cosine_topk_ivf(
     reranks exactly. Candidates shrink ~n_probe/n_clusters; the probe
     join is a broadcast equi-join on the cluster id. Approximate —
     recall validated against ``cosine_topk_bruteforce`` in tests."""
-    sample_rows = emb.select("vec").limit(train_sample).collect()
+    # deterministic training sample: first train_sample vectors in
+    # vec_id order (distributed TakeOrdered, not a full sort) — the
+    # quantizer, and therefore the whole IVF result, must not depend on
+    # partition enumeration order (the fixture value-oracle relies on
+    # replaying this exact protocol in NumPy)
+    sample_rows = (
+        emb.select("vec_id", "vec").orderBy("vec_id").limit(train_sample)
+        .select("vec").collect()
+    )
     sample = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in sample_rows])
     if n_clusters is None:
         n_clusters = max(4, int(np.sqrt(sample.shape[0])))

@@ -511,7 +511,111 @@ GROUP BY 1, 2
 """
 
 
-# fixture-parquet value oracles (generated by tools/gen_fixture_oracles.py)
+def q_incremental_extend(spark, sf_dir):
+    """OOV-EXTEND twin of ``q_incremental_merge``: the appended batch
+    (doc_id >= INC_SPLIT) contains tokens outside the initial
+    vocabulary; ``on_oov="extend"`` mints ids for them above the
+    initial range with the hash base pinned at the initial vocab size.
+    The SQL twin recomputes the extended-vocabulary LNO postings from
+    scratch — ids 0..V0-1 for initial-corpus tokens (sorted), V0.. for
+    the batch's new tokens (sorted), base = V0."""
+
+    def build():
+        import tempfile
+
+        from .config import FlameConfig
+        from .incremental import IncrementalIndexer
+
+        raw = _docs(spark, sf_dir).select(
+            F.format_string("c%08d", F.col("doc_id").cast("int")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        cfg = FlameConfig(
+            ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+            term_mode="lno", n_shards=INC_SHARDS,
+        )
+        split_key = f"c{INC_SPLIT:08d}"
+        root = tempfile.mkdtemp(prefix="flame_inc_ext_gate_")
+        idx = IncrementalIndexer(root, cfg)
+        idx.initial_build(raw.filter(F.col("conv_id") < split_key))
+        idx.ingest(raw.filter(F.col("conv_id") >= split_key), on_oov="extend")
+        segs = idx.merge_segments(spark)
+        return segs.select(
+            F.col("shard").cast("long").alias("shard"),
+            "term",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "first_doc",
+            "last_doc",
+        ).persist()
+
+    return _memo(spark, sf_dir, "incremental_extend", build)
+
+
+# extended-vocab LNO postings in SQL: initial tokens keep their initial
+# dense ids; the appended batch's new tokens get ids above V0 (sorted
+# within the batch); the rolling-hash base stays V0 (pinned) — no token
+# ever drops, so positions are the raw subscript order
+SQL_INCREMENTAL_EXTEND = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tok_rows AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos FROM toks
+),
+vocab0 AS (
+  SELECT tok, (row_number() OVER (ORDER BY tok) - 1) AS tid
+  FROM (SELECT DISTINCT tok FROM tok_rows WHERE doc_id < {INC_SPLIT})
+),
+v0 AS (SELECT count(*)::HUGEINT AS v FROM vocab0),
+newtoks AS (
+  SELECT DISTINCT tok FROM tok_rows
+  WHERE tok NOT IN (SELECT tok FROM vocab0)
+),
+vocab1 AS (
+  SELECT tok,
+         (SELECT v FROM v0)::BIGINT + row_number() OVER (ORDER BY tok) - 1 AS tid
+  FROM newtoks
+),
+vocab AS (SELECT * FROM vocab0 UNION ALL SELECT * FROM vocab1),
+ids AS (
+  SELECT r.doc_id, r.pos, vocab.tid FROM tok_rows r JOIN vocab USING (tok)
+),
+lens AS (SELECT doc_id, max(pos) AS n FROM ids GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, unnest(generate_series(1, n - 2)) AS s FROM lens WHERE n >= 3
+),
+trip AS (
+  SELECT st.doc_id, a.tid::HUGEINT AS t0, b.tid::HUGEINT AS t1, c.tid::HUGEINT AS t2
+  FROM starts st
+  JOIN ids a ON a.doc_id = st.doc_id AND a.pos = st.s
+  JOIN ids b ON b.doc_id = st.doc_id AND b.pos = st.s + 1
+  JOIN ids c ON c.doc_id = st.doc_id AND c.pos = st.s + 2
+),
+feats AS (
+  SELECT doc_id, ((t0 + (SELECT v FROM v0) * t1) % {MOD})::BIGINT AS term FROM trip
+  UNION ALL
+  SELECT doc_id, ((t0 + (SELECT v FROM v0) * t2) % {MOD})::BIGINT FROM trip
+  UNION ALL
+  SELECT doc_id, ((t1 + (SELECT v FROM v0) * t2) % {MOD})::BIGINT FROM trip
+),
+p AS (SELECT doc_id, term FROM feats GROUP BY doc_id, term),
+nd AS (SELECT count(*) AS n FROM documents),
+sp AS (SELECT greatest(1, (n + {INC_SHARDS} - 1) // {INC_SHARDS}) AS span FROM nd)
+SELECT (p.doc_id // sp.span)::BIGINT AS shard, p.term,
+       count(*)::BIGINT AS n_docs,
+       min(p.doc_id)::BIGINT AS first_doc, max(p.doc_id)::BIGINT AS last_doc
+FROM p CROSS JOIN sp
+GROUP BY 1, 2
+"""
+
+
+# fixture-parquet value oracles (generated by tools/gen_fixture_oracles.py;
+# see that file's docstring for which fixtures are INDEPENDENT
+# RECOMPUTATIONS — ann_ivf, bpe_tokens — and which are protocol-replay
+# regression pins — mm, autotune). Every fixture joins on a digest the
+# SQL recomputes from the live table, so stale fixtures mismatch loudly.
 _FIXDIR = "/root/repo/tests/fixtures"
 
 SQL_MM_IMAGE_FEATURES = (
@@ -526,6 +630,30 @@ WITH d AS (
 )
 SELECT best_ngram, best_n_out, snr
 FROM '{_FIXDIR}/autotune_expected.parquet' JOIN d USING (corpus_md5)
+"""
+
+# independent-recomputation fixtures (NumPy / naive-BPE replay of the
+# documented protocols, no engine code shared)
+SQL_ANN_IVF = f"""
+WITH d AS (
+  SELECT md5(string_agg(vec_id::VARCHAR || ':' ||
+             round(embedding[1]::DOUBLE, 6)::VARCHAR, ',' ORDER BY vec_id))
+         AS emb_md5
+  FROM embeddings
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       vec_id::BIGINT AS vec_id, cosine
+FROM '{_FIXDIR}/ann_ivf_expected.parquet' JOIN d USING (emb_md5)
+"""
+
+SQL_BPE_TOKENS = f"""
+WITH d AS (
+  SELECT md5(string_agg(norm, '' ORDER BY doc_id)) AS corpus_md5
+  FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+        ORDER BY doc_id LIMIT 2000)
+)
+SELECT doc_id::BIGINT AS doc_id, n_subwords::BIGINT AS n_subwords
+FROM '{_FIXDIR}/bpe_tokens_expected.parquet' JOIN d USING (corpus_md5)
 """
 
 
@@ -1463,6 +1591,100 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_conv_state(spark, sf_dir):
+    """Gate for ``conversation_state_stream`` (the per-conversation
+    stateful operator): each document becomes a 3-turn conversation
+    (text split into thirds), the three turns arrive in three separate
+    microbatches (staged by turn_idx, maxFilesPerTrigger=1), so every
+    conversation's state MUST carry across batches; the final emission
+    per conversation must equal the batch ground truth (SQL oracle)."""
+    import hashlib
+    import os
+    import uuid
+
+    from .streaming import conversation_state_stream
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"cstate|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:8]
+    stage_dir = f"/tmp/flame_stream_conv_{tag}"
+    if not os.path.isdir(stage_dir):
+        d = _docs(spark, sf_dir).select(
+            F.format_string("c%08d", F.col("doc_id").cast("int")).alias(
+                "conv_id"
+            ),
+            "text",
+            (F.length("text").cast("int") / 3).cast("int").alias("third"),
+        )
+        turns = d.select(
+            "conv_id",
+            F.lit(0).alias("turn_idx"),
+            F.expr("substring(text, 1, third)").alias("text"),
+        ).unionByName(
+            d.select(
+                "conv_id",
+                F.lit(1).alias("turn_idx"),
+                F.expr("substring(text, third + 1, third)").alias("text"),
+            )
+        ).unionByName(
+            d.select(
+                "conv_id",
+                F.lit(2).alias("turn_idx"),
+                F.expr("substring(text, 2 * third + 1)").alias("text"),
+            )
+        ).select(
+            "conv_id",
+            "turn_idx",
+            F.lit("user").alias("role"),
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        for i in range(3):
+            turns.filter(F.col("turn_idx") == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{stage_dir}/turn{i}.parquet")
+
+    agg = conversation_state_stream(spark, f"{stage_dir}/*")
+    qname = f"conv_state_{tag}_{uuid.uuid4().hex[:6]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.table(qname).collect()
+    q.stop()
+    final: dict = {}
+    for r in rows:
+        cur = final.get(r["conv_id"])
+        if cur is None or r["n_turns"] > cur[0]:
+            final[r["conv_id"]] = (
+                r["n_turns"], r["n_chars"], r["max_turn_idx"]
+            )
+    return spark.createDataFrame(
+        [
+            (c, int(nt), int(nc), int(mt))
+            for c, (nt, nc, mt) in final.items()
+        ],
+        "conv_id string, n_turns long, n_chars long, max_turn_idx int",
+    )
+
+
+# batch ground truth: 3 turns per document, turn chars sum to the two
+# floor-thirds plus the remainder = the full text length
+SQL_STREAM_CONV_STATE = """
+SELECT printf('c%08d', doc_id::INT) AS conv_id,
+       3::BIGINT AS n_turns,
+       length(text)::BIGINT AS n_chars,
+       2::INT AS max_turn_idx
+FROM documents
+"""
+
+
 def q_autotune(spark, sf_dir):
     """§2.11 auto-tune grid search over the documents corpus (word
     tokens): returns the selected (ngram, n_out) + SNR. Deterministic
@@ -1565,6 +1787,7 @@ QUERIES = {
     "events_window5m": q_events_window,
     "stream_events_window5m": q_stream_events_window,
     "stream_user_state": q_stream_user_state,
+    "stream_conv_state": q_stream_conv_state,
     # rows-only (non-SQL-expressible) engine paths
     "autotune_grid": q_autotune,
     "mm_image_features": q_multimodal_features,
@@ -1573,6 +1796,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "t3_bpe_tokens": q_bpe_tokens,
     "inc_merge_segments": q_incremental_merge,
+    "inc_extend_segments": q_incremental_extend,
 }
 
 ORACLE_SQL = {
@@ -1612,6 +1836,7 @@ ORACLE_SQL = {
     # stateful (applyInPandasWithState) running per-user aggregates:
     # final emissions must equal the batch GROUP BY
     "stream_user_state": SQL_STREAM_USER_STATE,
+    "stream_conv_state": SQL_STREAM_CONV_STATE,
     # the WAND engine path is score-identical to exhaustive BM25, so
     # the full normalize->LNO->segments->WAND chain gets a value oracle
     "wand_topk_lno": SQL_WAND_TOPK_LNO,
@@ -1622,6 +1847,11 @@ ORACLE_SQL = {
     "mm_image_features": SQL_MM_IMAGE_FEATURES,
     "autotune_grid": SQL_AUTOTUNE_GRID,
     "inc_merge_segments": SQL_INCREMENTAL_MERGE,
+    "inc_extend_segments": SQL_INCREMENTAL_EXTEND,
+    # independent-recomputation fixture oracles: k-means IVF and BPE
+    # replayed from scratch in NumPy / naive Python by the generator
+    "ann_ivf_topk": SQL_ANN_IVF,
+    "t3_bpe_tokens": SQL_BPE_TOKENS,
     # np.histogram/Otsu semantics replicated exactly in SQL (linspace
     # edges, closed last bin, reverse-order suffix sums, first-max)
     "a8_otsu_threshold": SQL_OTSU_THRESHOLD,

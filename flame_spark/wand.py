@@ -126,13 +126,40 @@ def _wand_shard_kernel(
     return top_docs.astype(np.int64), top_scores
 
 
-def segments_for_serving(segments: DataFrame, n_parts: int) -> DataFrame:
-    """Serving cache layout: hash-partition the segment table by shard
-    and persist. Every shard's rows are then CO-RESIDENT in one cached
-    partition, so a query is one mapInPandas over the cache — no join,
-    no shuffle, no window; the classic doc-sharded serving replica
-    layout. Call .count() on the result to warm the cache."""
-    return segments.repartition(n_parts, "shard").persist()
+def segments_for_serving(
+    segments: DataFrame, n_parts: int, batch_rows: int = 1000
+) -> DataFrame:
+    """Serving cache layout: hash-partition the segment table by shard,
+    sort each partition by ``term``, and persist. Every shard's rows
+    are then CO-RESIDENT in one cached partition, so a query is one
+    mapInPandas over the cache — no join, no shuffle, no window; the
+    classic doc-sharded serving replica layout.
+
+    The TERM-SORTED layout is the lookup structure: Spark's in-memory
+    columnar cache keeps min/max stats per cached batch and prunes
+    batches whose stats cannot satisfy the filter (
+    InMemoryTableScanExec supports ``In``), so with rows sorted by term
+    each batch covers a narrow term range and a query's ``isin`` touches
+    only the few batches actually holding its terms — per-query cost
+    scales with result size, not index size (the cache-resident
+    equivalent of a searchsorted into a term-sorted array).
+    ``batch_rows`` sets the pruning granularity (default 10000 would
+    leave only coarse skipping on small shards). The cache is warmed
+    here so the batch-size conf can be restored before returning."""
+    spark = segments.sparkSession
+    key = "spark.sql.inMemoryColumnarStorage.batchSize"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(batch_rows))
+    try:
+        cached = (
+            segments.repartition(n_parts, "shard")
+            .sortWithinPartitions("term")
+            .persist()
+        )
+        cached.count()  # materialize under the serving batch size
+    finally:
+        spark.conf.set(key, old)
+    return cached
 
 
 def wand_topk_serve(
