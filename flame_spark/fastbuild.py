@@ -153,7 +153,12 @@ def build_serving_index(raw_docs: DataFrame, cfg: FlameConfig) -> ServingIndex:
     if cfg.term_mode != "lno":
         raise ValueError("build_serving_index: term_mode must be 'lno'")
     spark = raw_docs.sparkSession
-    target_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 4x the shuffle-partition count: the normalize/tokenize/shingle
+    # map side then runs as several waves of small tasks instead of one
+    # wave of core-count tasks, so a straggler costs a fraction of a
+    # wave, not a whole stage tail (same rationale as n_parts in
+    # scored_postings_direct).
+    target_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     if raw_docs.rdd.getNumPartitions() < target_parts:
         raw_docs = raw_docs.repartition(target_parts)
     docs, artifacts = prepare_docs(raw_docs, cfg)  # tokenized docs cached

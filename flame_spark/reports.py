@@ -33,9 +33,14 @@ _YEAR_RE = re.compile(r"(?<!\d)(1\d{3}|2\d{3})(?!\d)")
 # sandbox). The PTB rules below are the public tokenizer.sed behavior:
 # punctuation split-off, quote conversion to ``/'', contraction clitic
 # splitting ('s n't 'll 're 've 'm 'd), special bi-words (cannot,
-# gonna...). Deviation from nltk.word_tokenize proper: no Punkt
-# sentence splitting first, so only string-final (not every
-# sentence-final) periods detach — stated, cosmetic, report-only.
+# gonna...). nltk.word_tokenize is Punkt sentence splitting THEN
+# Treebank per sentence; _sentences below is a rule-based Punkt
+# approximation (boundary = terminal [.?!] + space + capital/digit
+# start, vetoed after known abbreviations, initials, and dotted
+# acronyms), so mid-string sentence-final periods detach exactly as
+# nltk does on the tested canonical behaviors. Residual deviation:
+# corpus-adaptive Punkt abbreviation discovery (unsupervised training)
+# is approximated by the fixed veto list — report-only.
 _PTB_RULES = [
     (re.compile(r'^\"'), r"`` "),
     (re.compile(r"(``)"), r" \1 "),
@@ -64,14 +69,61 @@ _PTB_WORDS = [
 ]
 
 
+# Punkt's pretrained English model treats these (case-insensitively)
+# as non-breaking abbreviations; the list covers the common ones so a
+# following capitalized word does not start a new sentence.
+_PUNKT_ABBREVS = frozenset(
+    """mr mrs ms dr prof rev fr gen sen rep gov pres hon st jr sr vs
+    etc e.g i.e cf al inc ltd co corp dept univ est approx no vol fig
+    p pp ed eds trans ca""".split()
+)
+# candidate boundary: sentence-terminal punctuation (+ closing quotes/
+# brackets) then whitespace then a capital or digit (optionally behind
+# opening quotes/brackets)
+_SENT_BOUND = re.compile(r'[.?!]+["\')\]]*\s+(?=["\'(\[]*[A-Z0-9])')
+_DOTTED_ACRONYM = re.compile(r"^(?:[A-Za-z]\.)+[A-Za-z]?$")
+
+
+def _sentences(text: str) -> list[str]:
+    """Rule-based Punkt approximation: split at terminal [.?!] followed
+    by whitespace and a capitalized/numeric sentence start, except when
+    the period belongs to a known abbreviation, a single-letter
+    initial, or a dotted acronym ("Mr.", "J.", "U.S.")."""
+    out, start = [], 0
+    for m in _SENT_BOUND.finditer(text):
+        seg = text[start : m.end()].rstrip()
+        if "." in m.group(0):
+            # the word carrying the candidate period
+            stripped = seg.rstrip('.?!"\')]')
+            word = stripped.rsplit(None, 1)[-1] if stripped.split() else ""
+            bare = word.rstrip(".").lower()
+            if (
+                bare in _PUNKT_ABBREVS
+                or len(bare) == 1
+                or _DOTTED_ACRONYM.match(word + ".")
+            ):
+                continue
+        out.append(seg)
+        start = m.end()
+    tail = text[start:].strip()
+    if tail:
+        out.append(tail)
+    return out or [text]
+
+
 def display_tokens(text: str) -> list[str]:
-    """PTB-style word tokens for the alignment reports."""
-    t = " " + (text or "") + " "
-    for rx, rep in _PTB_RULES:
-        t = rx.sub(rep, t)
-    for rx, rep in _PTB_WORDS:
-        t = rx.sub(rep, t)
-    return t.split()
+    """nltk.word_tokenize-style tokens for the alignment reports:
+    Punkt-approximate sentence split, then the PTB rules per sentence
+    (the same composition as nltk's word_tokenize)."""
+    toks: list[str] = []
+    for sent in _sentences(text or ""):
+        t = " " + sent + " "
+        for rx, rep in _PTB_RULES:
+            t = rx.sub(rep, t)
+        for rx, rep in _PTB_WORDS:
+            t = rx.sub(rep, t)
+        toks.extend(t.split())
+    return toks
 
 
 def analysis_tokens(tokens: list[str]) -> list[str]:

@@ -133,9 +133,16 @@ def build_segments(
 ) -> DataFrame:
     """(term, doc_id, tf, s) -> segment rows, one per (shard, term)."""
     span = shard_span(n_docs, n_shards)
+    # pin the encode exchange to ONE SHARD PER TASK instead of the
+    # global shuffle-partition count: per-task memory is then bounded
+    # by a single shard's postings regardless of session conf, and the
+    # encode stage packs as n_shards small tasks (several waves) rather
+    # than core-count jumbo tasks whose stragglers land directly in the
+    # build's wall clock. HashPartitioning(shard, n_shards) satisfies
+    # the groupBy's ClusteredDistribution, so no second exchange.
     with_shard = postings_scored.withColumn(
         "shard", (F.col("doc_id") / F.lit(span)).cast("int")
-    )
+    ).repartition(n_shards, "shard")
 
     def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         """One call per SHARD (not per term!): sort by (term, doc_id),

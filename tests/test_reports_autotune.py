@@ -144,3 +144,38 @@ def test_display_tokens_ptb_parity():
     assert display_tokens("cost $3.50; done...") == [
         'cost', '$', '3.50', ';', 'done', '...']
     assert display_tokens("") == []
+
+
+def test_display_tokens_sentence_split_nltk_parity():
+    """Punkt-approximate sentence split before the PTB rules:
+    mid-string sentence-final periods detach exactly as
+    nltk.word_tokenize (Punkt + Treebank) does — each expectation below
+    is the hand-derived nltk output. Abbreviations, initials, dotted
+    acronyms, and decimals must NOT split."""
+    from flame_spark.reports import display_tokens
+
+    cases = [
+        ("Hello world. This is a test.",
+         ['Hello', 'world', '.', 'This', 'is', 'a', 'test', '.']),
+        ("I saw Mr. Brown. He waved.",
+         ['I', 'saw', 'Mr.', 'Brown', '.', 'He', 'waved', '.']),
+        ("It costs 3.50 dollars. Cheap!",
+         ['It', 'costs', '3.50', 'dollars', '.', 'Cheap', '!']),
+        ("The U.S. economy grew. Rates fell.",
+         ['The', 'U.S.', 'economy', 'grew', '.', 'Rates', 'fell', '.']),
+        ("Wait... Then came silence.",
+         ['Wait', '...', 'Then', 'came', 'silence', '.']),
+        ("It ended. 2021 was better.",
+         ['It', 'ended', '.', '2021', 'was', 'better', '.']),
+        ("He asked why? Nobody knew.",
+         ['He', 'asked', 'why', '?', 'Nobody', 'knew', '.']),
+        ("J. Smith arrived. Dr. Jones left.",
+         ['J.', 'Smith', 'arrived', '.', 'Dr.', 'Jones', 'left', '.']),
+        # lowercase continuation: Punkt keeps ONE sentence, so the
+        # mid-string period stays attached (only string-final detaches)
+        ("in nomine domini. amen",
+         ['in', 'nomine', 'domini.', 'amen']),
+        ("One sentence only", ['One', 'sentence', 'only']),
+    ]
+    for text, want in cases:
+        assert display_tokens(text) == want, text
