@@ -40,6 +40,28 @@ from .postings import CorpusStats, corpus_stats, doc_lengths
 from .segments import SEGMENT_SCHEMA, shard_span
 
 
+def _sized_parts(df: DataFrame, cores: int, inflation: float = 1.0) -> int:
+    """Partition count for an exchange over ``df``-derived rows:
+    4x cores for straggler-tolerant waves, but never more than ~1
+    partition per MB of (estimated) data — a tiny corpus on a wide
+    session otherwise pays several waves of near-empty task dispatch.
+    Estimate = input file bytes x ``inflation`` (driver-side stat, no
+    job); non-file-backed plans fall back to the 4x-cores default."""
+    import os as _os
+
+    cap = 4 * cores
+    try:
+        files = df.inputFiles()
+        if not files:
+            return cap
+        mb = sum(
+            _os.path.getsize(f.removeprefix("file:")) for f in files
+        ) * inflation / (1024 * 1024)
+    except Exception:
+        return cap
+    return max(cores, min(cap, int(mb) + 1))
+
+
 def scored_postings_direct(
     feat_docs: DataFrame,
     stats: CorpusStats,
@@ -55,8 +77,12 @@ def scored_postings_direct(
     if n_parts is None:
         # 4x the core count: bounded per-task pandas buffers and
         # straggler-tolerant packing (a single wave of core-count tasks
-        # turns any slow task directly into wall time)
-        n_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # turns any slow task directly into wall time). Floored by the
+        # input size so a SMALL corpus on a WIDE session doesn't pay
+        # 4 waves of near-empty task dispatch (input bytes are a cheap
+        # driver-side proxy; posting rows inflate ~4x over raw text).
+        cores = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_parts = _sized_parts(feat_docs, cores, inflation=4.0)
     n, avgdl = float(stats.n_docs), float(stats.avgdl)
 
     rows = feat_docs.select(
@@ -158,7 +184,8 @@ def build_serving_index(raw_docs: DataFrame, cfg: FlameConfig) -> ServingIndex:
     # wave of core-count tasks, so a straggler costs a fraction of a
     # wave, not a whole stage tail (same rationale as n_parts in
     # scored_postings_direct).
-    target_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cores = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target_parts = _sized_parts(raw_docs, cores, inflation=1.0)
     if raw_docs.rdd.getNumPartitions() < target_parts:
         raw_docs = raw_docs.repartition(target_parts)
     docs, artifacts = prepare_docs(raw_docs, cfg)  # tokenized docs cached

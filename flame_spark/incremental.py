@@ -11,8 +11,13 @@ batch and re-derives everything downstream at merge time:
     state.json                next_doc_id + ingest counter + cfg bits
     doclens/ingest=N/         (doc_id, dl)        every filtered-in doc
     postings/ingest=N/        (term, doc_id, tf, dl)
-    segments/shard=NN/        merged block-max segments (idempotent
-                              per-shard overwrite via SegmentWarehouse)
+    data/<snap>/shard=NN/     merged block-max segments, one IMMUTABLE
+                              dir per merge (idempotent per-shard
+                              build via SegmentWarehouse lineage)
+    snapshots/                Iceberg-style snapshot log: each merge
+                              commits one manifest + atomic HEAD swap;
+                              readers pin a snapshot (time travel /
+                              rollback / expire via SnapshotLog)
 
 Merge = union the delta postings (cheap columnar scan), recompute the
 GLOBAL stats (df, N, avgdl — these legitimately change on every
@@ -355,10 +360,20 @@ class IncrementalIndexer:
             postings_dl, stats_df, stats, cfg.bm25_k1, cfg.bm25_b
         )
         snap = snapshot_id(postings_dl, ["term", "doc_id", "tf"])
-        self.warehouse.build_checkpointed(
-            scored, stats.n_docs, cfg.n_shards, cfg.block_size, snap
+        log = self.warehouse.snapshot_log
+        head = log.current_id()
+        if head is not None and (
+            log.manifest(head)["summary"].get("input_snapshot") == snap
+        ):
+            # idempotent re-merge: the current snapshot was built from
+            # this exact postings state — serve it, commit nothing
+            return self.warehouse.read_snapshot(spark, head)
+        self.warehouse.build_snapshot(
+            scored, stats.n_docs, cfg.n_shards, cfg.block_size, snap,
+            operation="merge",
+            summary={"n_docs": stats.n_docs, "n_ingests": self._load_state()["n_ingests"]},
         )
-        return self.warehouse.read_segments(spark)
+        return self.warehouse.read_snapshot(spark)
 
 
 def ingest_stream(

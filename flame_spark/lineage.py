@@ -102,11 +102,15 @@ class SegmentWarehouse:
         block_size: int,
         input_snapshot: str,
         fail_after_shards: int | None = None,
+        out_root: str | None = None,
     ) -> None:
         """Build all shards, skipping ones already recorded in lineage.
 
         ``fail_after_shards`` injects a crash after N shard commits —
-        used by the kill-and-resume test.
+        used by the kill-and-resume test. ``out_root`` redirects the
+        shard partition dirs (default: the warehouse's mutable
+        ``segments/`` table; ``build_snapshot`` passes an immutable
+        per-snapshot dir instead).
 
         Scale note: locally this loops shards on the driver (each shard
         is one narrow job); on a real cluster the same protocol runs as
@@ -117,6 +121,16 @@ class SegmentWarehouse:
 
         spark = postings_scored.sparkSession
         done = self.completed_shards(spark, input_snapshot)
+        if out_root is not None:
+            # lineage rows outlive snapshot expiry (append-only table);
+            # a shard only counts as done if its data dir still exists,
+            # so rebuilding a previously-expired snapshot re-encodes
+            # the deleted shards instead of committing missing files
+            done = {
+                s
+                for s in done
+                if os.path.isdir(os.path.join(out_root, f"shard={s}"))
+            }
         span = shard_span(n_docs, n_shards)
         # doc ids are dense over RAW rows while n_docs counts
         # filtered-in docs, so the top ids can spill past
@@ -138,7 +152,9 @@ class SegmentWarehouse:
             seg = build_segments(part, n_docs, n_shards, block_size).filter(
                 F.col("shard") == shard
             )
-            out_dir = os.path.join(self.segments_path, f"shard={shard}")
+            out_dir = os.path.join(
+                out_root or self.segments_path, f"shard={shard}"
+            )
             seg.drop("shard").write.mode("overwrite").parquet(out_dir)
             written = spark.read.parquet(out_dir)
             rows_out = written.count()
@@ -167,6 +183,216 @@ class SegmentWarehouse:
         return spark.read.option("basePath", self.segments_path).parquet(
             self.segments_path
         )
+
+    # -- snapshots (Iceberg-style commit protocol) --------------------------
+
+    @property
+    def snapshot_log(self) -> "SnapshotLog":
+        if not hasattr(self, "_snapshot_log"):
+            self._snapshot_log = SnapshotLog(self.root)
+        return self._snapshot_log
+
+    def build_snapshot(
+        self,
+        postings_scored: DataFrame,
+        n_docs: int,
+        n_shards: int,
+        block_size: int,
+        input_snapshot: str,
+        fail_after_shards: int | None = None,
+        operation: str = "overwrite",
+        summary: dict | None = None,
+    ) -> str:
+        """Checkpointed shard build into an IMMUTABLE per-snapshot data
+        dir, then ONE atomic snapshot commit. Until the commit, readers
+        (``read_snapshot``) keep seeing the previous snapshot — a kill
+        mid-build leaves per-shard lineage for resume but never a
+        half-visible table. Returns the committed snapshot id."""
+        data_root = os.path.join(self.root, "data", input_snapshot)
+        self.build_checkpointed(
+            postings_scored, n_docs, n_shards, block_size, input_snapshot,
+            fail_after_shards=fail_after_shards, out_root=data_root,
+        )
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(data_root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        s = dict(summary or {})
+        s.setdefault("input_snapshot", input_snapshot)
+        s.setdefault("n_shards", n_shards)
+        return self.snapshot_log.commit(
+            files, base=data_root, operation=operation, summary=s
+        )
+
+    def read_snapshot(
+        self, spark: SparkSession, snap_id: str | None = None
+    ) -> DataFrame:
+        """Segment table AT a snapshot (default: current HEAD) — reads
+        exactly the manifest's file list, so concurrent builds/merges
+        never tear a read. Schema matches ``read_segments`` (the
+        ``shard`` partition column is restored via basePath)."""
+        m = self.snapshot_log.manifest(snap_id)
+        base = os.path.join(self.root, m["base"])
+        files = [os.path.join(self.root, f) for f in m["files"]]
+        return spark.read.option("basePath", base).parquet(*files)
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed since the expected parent snapshot —
+    re-read HEAD and retry (optimistic concurrency, as in Iceberg)."""
+
+
+class SnapshotLog:
+    """Append-only snapshot log + atomic HEAD pointer over a plain
+    filesystem — the Iceberg table-commit protocol re-implemented
+    without the runtime jars (absent in this sandbox):
+
+    - every commit writes an immutable manifest ``snap-<id>.json``
+      listing the snapshot's data files (paths relative to the
+      warehouse root, so the warehouse is relocatable);
+    - visibility is ONE atomic ``os.replace`` of the ``HEAD`` file —
+      readers resolve HEAD, then read exactly that manifest's files:
+      no torn reads against concurrent writers, ever;
+    - parent links give time travel (``snapshots()`` walks the chain,
+      ``read_snapshot(spark, old_id)`` serves any retained snapshot);
+    - ``rollback`` re-points HEAD at an ancestor (metadata-only);
+    - ``expire`` deletes snapshots older than the last N along with
+      data files no retained snapshot references.
+
+    Concurrency: ``commit(expected_parent=...)`` raises
+    ``CommitConflict`` if HEAD moved — the caller re-reads and retries,
+    exactly Iceberg's optimistic loop. (On a real object store the
+    HEAD swap maps to a conditional PUT / rename-if-absent.)
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.dir = os.path.join(root, "snapshots")
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- paths --------------------------------------------------------------
+
+    @property
+    def _head(self) -> str:
+        return os.path.join(self.dir, "HEAD")
+
+    def _snap_path(self, snap_id: str) -> str:
+        return os.path.join(self.dir, f"snap-{snap_id}.json")
+
+    # -- reads --------------------------------------------------------------
+
+    def current_id(self) -> str | None:
+        try:
+            with open(self._head, encoding="utf-8") as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def manifest(self, snap_id: str | None = None) -> dict:
+        sid = snap_id or self.current_id()
+        if sid is None:
+            raise FileNotFoundError("snapshot log is empty (no HEAD)")
+        with open(self._snap_path(sid), encoding="utf-8") as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """Manifest chain from HEAD back to the root, newest first."""
+        out, sid = [], self.current_id()
+        while sid is not None:
+            m = self.manifest(sid)
+            out.append(m)
+            sid = m["parent_id"]
+        return out
+
+    def files(self, snap_id: str | None = None) -> list[str]:
+        m = self.manifest(snap_id)
+        return [os.path.join(self.root, f) for f in m["files"]]
+
+    # -- writes -------------------------------------------------------------
+
+    _UNSET = object()
+
+    def _atomic_write(self, path: str, content: str) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def commit(
+        self,
+        files: list[str],
+        base: str,
+        operation: str,
+        summary: dict | None = None,
+        expected_parent=_UNSET,
+    ) -> str:
+        """Publish a new snapshot over ``files`` (absolute paths under
+        the warehouse root). Returns the new snapshot id."""
+        import uuid
+
+        parent = self.current_id()
+        if expected_parent is not self._UNSET and parent != expected_parent:
+            raise CommitConflict(
+                f"HEAD is {parent!r}, expected {expected_parent!r}"
+            )
+        seq = (self.manifest(parent)["sequence"] + 1) if parent else 0
+        sid = f"{seq:08d}-{uuid.uuid4().hex[:12]}"
+        rel = [os.path.relpath(f, self.root) for f in files]
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "sequence": seq,
+            "operation": operation,
+            "committed_at": time.time(),
+            "base": os.path.relpath(base, self.root),
+            "files": rel,
+            "summary": summary or {},
+        }
+        # manifest first (immutable, invisible), HEAD swap last (atomic
+        # visibility) — a kill between the two leaves HEAD unchanged
+        self._atomic_write(
+            self._snap_path(sid), json.dumps(manifest, indent=1)
+        )
+        self._atomic_write(self._head, sid)
+        return sid
+
+    def rollback(self, snap_id: str) -> None:
+        """Re-point HEAD at an ancestor snapshot (metadata-only undo)."""
+        chain = {m["snapshot_id"] for m in self.snapshots()}
+        if snap_id not in chain:
+            raise ValueError(f"{snap_id!r} is not an ancestor of HEAD")
+        self._atomic_write(self._head, snap_id)
+
+    def expire(self, keep_last: int = 2) -> list[str]:
+        """Drop snapshots older than the newest ``keep_last`` on the
+        HEAD chain; delete data files no retained snapshot references.
+        Returns the deleted data-file paths."""
+        chain = self.snapshots()
+        keep, drop = chain[:keep_last], chain[keep_last:]
+        keep_files = {f for m in keep for f in m["files"]}
+        deleted = []
+        for m in drop:
+            for f in m["files"]:
+                if f not in keep_files:
+                    p = os.path.join(self.root, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+                        deleted.append(p)
+            os.remove(self._snap_path(m["snapshot_id"]))
+        if keep:
+            # sever the parent link of the oldest retained manifest so
+            # snapshots() never dereferences an expired manifest
+            oldest = dict(keep[-1])
+            oldest["parent_id"] = None
+            self._atomic_write(
+                self._snap_path(oldest["snapshot_id"]),
+                json.dumps(oldest, indent=1),
+            )
+        return deleted
 
 
 def snapshot_id(df: DataFrame, key_cols: list[str]) -> str:
