@@ -207,7 +207,18 @@ class SegmentWarehouse:
         dir, then ONE atomic snapshot commit. Until the commit, readers
         (``read_snapshot``) keep seeing the previous snapshot — a kill
         mid-build leaves per-shard lineage for resume but never a
-        half-visible table. Returns the committed snapshot id."""
+        half-visible table. Returns the committed snapshot id.
+
+        Idempotent per input: if HEAD was already built from this exact
+        ``input_snapshot``, its id is returned and nothing is committed
+        — a job re-run (resume after success, scheduler retry) never
+        publishes duplicate snapshots."""
+        head = self.snapshot_log.current_id()
+        if head is not None and (
+            self.snapshot_log.manifest(head)["summary"].get("input_snapshot")
+            == input_snapshot
+        ):
+            return head
         data_root = os.path.join(self.root, "data", input_snapshot)
         self.build_checkpointed(
             postings_scored, n_docs, n_shards, block_size, input_snapshot,

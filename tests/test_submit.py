@@ -1,0 +1,86 @@
+"""End-to-end packaged run: the north rule's deployment shape is
+``spark-submit --py-files flame_spark.zip`` on a multi-executor
+cluster. This drives tools/submit_job.py exactly that way (local[4]
+master standing in for the cluster): zip the package, submit, assert
+the build publishes a snapshot and answers WAND queries, then
+re-submit the same input and assert snapshot idempotency.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit() -> str:
+    import pyspark
+
+    return os.path.join(pyspark.__path__[0], "bin", "spark-submit")
+
+
+def _zip_package(dest: str) -> str:
+    zpath = os.path.join(dest, "flame_spark.zip")
+    pkg = os.path.join(REPO, "flame_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for dp, _, fs in os.walk(pkg):
+            if "__pycache__" in dp:
+                continue
+            for f in fs:
+                if f.endswith(".py"):
+                    full = os.path.join(dp, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def _run(zpath, src, wh, queries):
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY package source
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(
+        [
+            _spark_submit(), "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zpath,
+            os.path.join(REPO, "tools", "submit_job.py"),
+            src, wh, "3", json.dumps(queries),
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/tmp", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    assert out, r.stdout
+    return out
+
+
+def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
+    from flame_spark.data import transcripts_df
+
+    src = str(tmp_path / "transcripts")
+    transcripts_df(spark, 20, 6).write.parquet(src)
+    zpath = _zip_package(str(tmp_path))
+    wh = str(tmp_path / "wh")
+    queries = [
+        {"query_id": "q0",
+         "query_text": "in nomine sancte et individue trinitatis amen"},
+    ]
+
+    out = _run(zpath, src, wh, queries)
+    build, results = out[0], out[1:]
+    assert build["segments"] > 0 and build["n_docs"] > 0
+    assert results, "WAND returned no rows for a formulaic query"
+    ranks = [r["rank"] for r in results if r["query_id"] == "q0"]
+    assert ranks == sorted(ranks) and ranks[0] == 1
+    scores = [r["score"] for r in results]
+    assert scores == sorted(scores, reverse=True)
+
+    # warehouse on disk: snapshot log with HEAD, immutable data dir
+    assert os.path.exists(os.path.join(wh, "snapshots", "HEAD"))
+
+    # re-submitting the SAME input is a no-op commit: same snapshot id,
+    # identical query results
+    out2 = _run(zpath, src, wh, queries)
+    assert out2[0]["snapshot"] == build["snapshot"]
+    assert out2[1:] == results

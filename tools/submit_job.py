@@ -54,15 +54,19 @@ def main(argv: list[str]) -> int:
         add_features(docs, artifacts, cfg), stats, cfg.bm25_k1, cfg.bm25_b
     ).persist()
 
-    # checkpointed write with lineage + metrics (resume-safe)
+    # checkpointed write with lineage + metrics (resume-safe), published
+    # as ONE atomic snapshot commit: readers of the warehouse keep the
+    # previous snapshot until every shard is built; a re-run of the same
+    # input commits nothing (idempotent)
     wh = SegmentWarehouse(wh_dir)
     snap = snapshot_id(scored, ["term", "doc_id", "tf"])
-    wh.build_checkpointed(
-        scored, stats.n_docs, cfg.n_shards, cfg.block_size, snap
+    sid = wh.build_snapshot(
+        scored, stats.n_docs, cfg.n_shards, cfg.block_size, snap,
+        operation="build", summary={"source": src},
     )
-    segs = wh.read_segments(spark)
-    print(json.dumps({"segments": segs.count(), "snapshot": snap,
-                      "n_docs": stats.n_docs}))
+    segs = wh.read_snapshot(spark)
+    print(json.dumps({"segments": segs.count(), "snapshot": sid,
+                      "input_snapshot": snap, "n_docs": stats.n_docs}))
 
     if queries:
         serving = ServingIndex(
