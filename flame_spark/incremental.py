@@ -11,6 +11,11 @@ batch and re-derives everything downstream at merge time:
     state.json                next_doc_id + ingest counter + cfg bits
     doclens/ingest=N/         (doc_id, dl)        every filtered-in doc
     postings/ingest=N/        (term, doc_id, tf, dl)
+    docmap/ingest=N/          (doc_id, conv_id, turn_idx) — the id map
+                              deletes resolve against
+    tombstones/               (doc_id, conv_id) deleted docs; applied
+                              as an anti-join at merge (see
+                              ``delete_conversations``)
     data/<snap>/shard=NN/     merged block-max segments, one IMMUTABLE
                               dir per merge (idempotent per-shard
                               build via SegmentWarehouse lineage)
@@ -115,6 +120,13 @@ class IncrementalIndexer:
     def _vocab_dir(self, ingest: int) -> str:
         return os.path.join(self.root, "vocab", f"ingest={ingest}")
 
+    def _docmap_dir(self, ingest: int) -> str:
+        return os.path.join(self.root, "docmap", f"ingest={ingest}")
+
+    @property
+    def tombstones_dir(self) -> str:
+        return os.path.join(self.root, "tombstones")
+
     def _vocab_df(self, spark: SparkSession):
         """Full token->id table (tok, tid) across all ingests."""
         return spark.read.parquet(os.path.join(self.root, "vocab"))
@@ -153,7 +165,11 @@ class IncrementalIndexer:
             # an empty initial build has no artifacts to learn and a
             # None watermark that would poison later ingests — refuse
             raise ValueError("initial_build: empty corpus")
-        tdf = add_doc_id(raw, TRANSCRIPT_KEY).select("doc_id", "text")
+        with_ids = add_doc_id(raw, TRANSCRIPT_KEY)
+        with_ids.select("doc_id", "conv_id", "turn_idx").write.mode(
+            "overwrite"
+        ).parquet(self._docmap_dir(0))
+        tdf = with_ids.select("doc_id", "text")
         docs, artifacts = prepare_docs(tdf, self.cfg)
         artifacts.hash_base = int(
             self.hash_base if self.hash_base is not None else artifacts.n_vocab
@@ -209,12 +225,15 @@ class IncrementalIndexer:
                 f"append contract violated: new conv_id {low!r} <= "
                 f"ingested watermark {state['max_conv_id']!r}"
             )
-        tdf = add_doc_id(new_raw, TRANSCRIPT_KEY).select("doc_id", "text")
-        tdf = tdf.withColumn(
+        with_ids = add_doc_id(new_raw, TRANSCRIPT_KEY).withColumn(
             "doc_id", F.col("doc_id") + F.lit(int(state["next_doc_id"]))
         )
-        docs, _ = prepare_docs(tdf, self.cfg, artifacts)
         ingest_no = state["n_ingests"]
+        with_ids.select("doc_id", "conv_id", "turn_idx").write.mode(
+            "overwrite"
+        ).parquet(self._docmap_dir(ingest_no))
+        tdf = with_ids.select("doc_id", "text")
+        docs, _ = prepare_docs(tdf, self.cfg, artifacts)
         if on_oov == "error":
             self._check_vocab_closure(docs, artifacts)
         elif on_oov == "extend":
@@ -335,12 +354,78 @@ class IncrementalIndexer:
         dl.unpersist()
         return n_new
 
+    # -- delete (right-to-be-forgotten) -------------------------------------
+
+    def delete_conversations(
+        self, spark: SparkSession, conv_ids: list[str], strict: bool = True
+    ) -> int:
+        """Tombstone every turn of the given conversations. The next
+        ``merge_segments`` rebuilds the index WITHOUT them — df, N and
+        avgdl all shrink, every surviving posting is re-scored, and the
+        result is byte-identical to a pinned-artifact rebuild over the
+        survivors (tested). Surviving doc ids keep their original
+        values (the engine supports sparse id spaces end to end), so
+        serving-side doc references stay stable.
+
+        Returns the number of newly tombstoned turn docs. Re-deleting
+        an already-deleted conversation is a no-op; a conv_id the
+        warehouse has never seen raises under ``strict`` (the operator
+        must know a forget-request didn't match) and is ignored
+        otherwise. Deleted conv_ids cannot be re-ingested — the append
+        contract already forbids ingesting at-or-below the watermark.
+
+        Scale: one distributed join docmap x requested ids (broadcast
+        the small request side) + one anti-join against existing
+        tombstones; no
+        per-row driver work. Tombstones are applied lazily at merge, so
+        a forget-batch is O(its own size) until the next merge.
+        """
+        self._load_state()  # must be an initialized warehouse
+        ids_df = spark.createDataFrame(
+            [(c,) for c in conv_ids], "conv_id string"
+        )
+        docmap = spark.read.parquet(os.path.join(self.root, "docmap"))
+        targets = docmap.join(F.broadcast(ids_df), "conv_id")
+        if strict:
+            found = {
+                r["conv_id"]
+                for r in targets.select("conv_id").distinct().collect()
+            }
+            missing = sorted(set(conv_ids) - found)
+            if missing:
+                raise ValueError(
+                    f"delete_conversations: unknown conv_ids {missing}"
+                )
+        new = targets.select("doc_id", "conv_id")
+        if os.path.isdir(self.tombstones_dir):
+            existing = spark.read.parquet(self.tombstones_dir).select(
+                "doc_id"
+            )
+            new = new.join(existing, "doc_id", "left_anti")
+        new = new.persist()
+        n_new = new.count()
+        if n_new:
+            new.write.mode("append").parquet(self.tombstones_dir)
+        new.unpersist()
+        return n_new
+
     # -- merge --------------------------------------------------------------
 
     def merged_inputs(self, spark: SparkSession):
-        """-> (postings_dl, term_stats_df, stats) over ALL ingests."""
+        """-> (postings_dl, term_stats_df, stats) over ALL ingests,
+        minus tombstoned docs (anti-join; AQE broadcasts the tombstone
+        side while it is small). Stats are computed AFTER the filter,
+        so df/N/avgdl reflect only surviving docs."""
         postings_dl = spark.read.parquet(os.path.join(self.root, "postings"))
         doclens = spark.read.parquet(os.path.join(self.root, "doclens"))
+        if os.path.isdir(self.tombstones_dir):
+            tomb = (
+                spark.read.parquet(self.tombstones_dir)
+                .select("doc_id")
+                .distinct()
+            )
+            postings_dl = postings_dl.join(tomb, "doc_id", "left_anti")
+            doclens = doclens.join(tomb, "doc_id", "left_anti")
         stats = corpus_stats(doclens)
         stats_df = term_stats(postings_dl.select("term", "doc_id", "tf"))
         return postings_dl, stats_df, stats

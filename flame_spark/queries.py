@@ -611,6 +611,72 @@ GROUP BY 1, 2
 """
 
 
+def q_incremental_delete(spark, sf_dir):
+    """Right-to-be-forgotten twin of ``q_incremental_extend``: after
+    the extend-ingest, every conversation whose doc_id % 7 == 3 is
+    tombstoned (``delete_conversations``); the merged index must equal
+    a from-scratch recomputation over ONLY the survivors — original
+    (now sparse) doc ids, shrunken N driving the shard span, df/tf
+    recounted without the deleted docs. The vocabulary stays the FULL
+    stream's (artifacts are pinned before the delete, exactly the
+    production order of events)."""
+
+    def build():
+        import tempfile
+
+        from .config import FlameConfig
+        from .incremental import IncrementalIndexer
+
+        raw = _docs(spark, sf_dir).select(
+            F.format_string("c%08d", F.col("doc_id").cast("int")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        cfg = FlameConfig(
+            ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+            term_mode="lno", n_shards=INC_SHARDS,
+        )
+        split_key = f"c{INC_SPLIT:08d}"
+        root = tempfile.mkdtemp(prefix="flame_inc_del_gate_")
+        idx = IncrementalIndexer(root, cfg)
+        idx.initial_build(raw.filter(F.col("conv_id") < split_key))
+        idx.ingest(raw.filter(F.col("conv_id") >= split_key), on_oov="extend")
+        gone = [
+            f"c{int(r['doc_id']):08d}"
+            for r in _docs(spark, sf_dir)
+            .filter((F.col("doc_id") % 7) == 3)
+            .select("doc_id")
+            .collect()
+        ]
+        assert idx.delete_conversations(spark, gone) == len(gone)
+        segs = idx.merge_segments(spark)
+        return segs.select(
+            F.col("shard").cast("long").alias("shard"),
+            "term",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "first_doc",
+            "last_doc",
+        ).persist()
+
+    return _memo(spark, sf_dir, "incremental_delete", build)
+
+
+# survivor-only recomputation: vocabulary and hash base from the FULL
+# stream (delete happens after ingest), postings/span/df from survivors
+SQL_INCREMENTAL_DELETE = SQL_INCREMENTAL_EXTEND.replace(
+    "p AS (SELECT doc_id, term FROM feats GROUP BY doc_id, term),",
+    "p AS (SELECT doc_id, term FROM feats WHERE doc_id % 7 <> 3"
+    " GROUP BY doc_id, term),",
+).replace(
+    "nd AS (SELECT count(*) AS n FROM documents),",
+    "nd AS (SELECT count(*) AS n FROM documents WHERE doc_id % 7 <> 3),",
+)
+assert SQL_INCREMENTAL_DELETE != SQL_INCREMENTAL_EXTEND
+
+
 # fixture-parquet value oracles (generated by tools/gen_fixture_oracles.py;
 # see that file's docstring for which fixtures are INDEPENDENT
 # RECOMPUTATIONS — ann_ivf, bpe_tokens — and which are protocol-replay
@@ -1797,6 +1863,7 @@ QUERIES = {
     "t3_bpe_tokens": q_bpe_tokens,
     "inc_merge_segments": q_incremental_merge,
     "inc_extend_segments": q_incremental_extend,
+    "inc_delete_segments": q_incremental_delete,
 }
 
 ORACLE_SQL = {
@@ -1848,6 +1915,7 @@ ORACLE_SQL = {
     "autotune_grid": SQL_AUTOTUNE_GRID,
     "inc_merge_segments": SQL_INCREMENTAL_MERGE,
     "inc_extend_segments": SQL_INCREMENTAL_EXTEND,
+    "inc_delete_segments": SQL_INCREMENTAL_DELETE,
     # independent-recomputation fixture oracles: k-means IVF and BPE
     # replayed from scratch in NumPy / naive Python by the generator
     "ann_ivf_topk": SQL_ANN_IVF,

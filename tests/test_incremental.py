@@ -201,3 +201,68 @@ def test_append_contract_violations(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="vocabulary-extending"):
         idx.ingest(novel)
+
+
+def test_delete_merge_equals_pinned_rebuild_on_survivors(spark, tmp_path):
+    """Right-to-be-forgotten: tombstoned conversations vanish from the
+    merged index — df/N/avgdl shrink, survivors re-score — and the
+    result is byte-identical to a pinned-artifact rebuild over the
+    survivors with their ORIGINAL (now sparse) doc ids."""
+    full = transcripts_df(spark, 20, 8).persist()
+    initial = full.filter(F.col("conv_id") < "conv000012")
+    append = full.filter(F.col("conv_id") >= "conv000012")
+    gone = ["conv000003", "conv000007", "conv000015"]
+
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG, hash_base=2**32)
+    idx.initial_build(initial)
+    idx.ingest(append, on_oov="extend")
+    n_del = idx.delete_conversations(spark, gone)
+    assert n_del > 0
+    # idempotent: re-deleting tombstones nothing new
+    assert idx.delete_conversations(spark, gone) == 0
+    merged = _seg_map(idx.merge_segments(spark).collect())
+
+    # twin: pinned artifacts, pinned ids (assigned over the FULL raw
+    # stream, then the deleted convs dropped -> id space has holes)
+    pinned = idx.load_serving_artifacts(spark)
+    survivors = (
+        add_doc_id(full, ["conv_id", "turn_idx"])
+        .filter(~F.col("conv_id").isin(gone))
+        .select("doc_id", "text")
+    )
+    rebuilt_index = build_index(survivors, CFG, artifacts=pinned)
+    rebuilt = _seg_map(build_segment_table(rebuilt_index).collect())
+    assert merged == rebuilt
+    assert len(merged) > 50
+
+    full.unpersist()
+
+
+def test_delete_unknown_conv_strict_vs_lenient(spark, tmp_path):
+    raw = transcripts_df(spark, 6, 5)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(raw)
+    with pytest.raises(ValueError, match="unknown conv_ids"):
+        idx.delete_conversations(spark, ["conv000002", "convNOPE"])
+    # lenient mode ignores the unknown id, deletes the known one
+    assert idx.delete_conversations(
+        spark, ["conv000002", "convNOPE"], strict=False
+    ) > 0
+
+
+def test_delete_then_snapshot_history(spark, tmp_path):
+    """Each merge (pre- and post-delete) is its own snapshot: the
+    pre-delete index stays time-travelable until expired."""
+    raw = transcripts_df(spark, 8, 6)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(raw)
+    before = _seg_map(idx.merge_segments(spark).collect())
+    sid_before = idx.warehouse.snapshot_log.current_id()
+    idx.delete_conversations(spark, ["conv000001"])
+    after = _seg_map(idx.merge_segments(spark).collect())
+    assert after != before
+    assert idx.warehouse.snapshot_log.current_id() != sid_before
+    assert (
+        _seg_map(idx.warehouse.read_snapshot(spark, sid_before).collect())
+        == before
+    )
