@@ -409,6 +409,26 @@ class IncrementalIndexer:
         new.unpersist()
         return n_new
 
+    def deleted_doc_ids(self, spark: SparkSession):
+        """Sorted int64 array of tombstoned doc ids — the live-docs
+        exclude set for serve-time suppression (pass to
+        pipeline.wand_bm25_serve / wand_bm25_topk as ``exclude_docs``
+        so deletes take effect IMMEDIATELY, before the next merge).
+        Driver-sized by design: only deletes since the last merge need
+        excluding at serve time, and a merge folds them in — on the
+        rare backlog, merge."""
+        import numpy as np
+
+        if not os.path.isdir(self.tombstones_dir):
+            return np.array([], dtype=np.int64)
+        rows = (
+            spark.read.parquet(self.tombstones_dir)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        )
+        return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+
     # -- merge --------------------------------------------------------------
 
     def merged_inputs(self, spark: SparkSession):

@@ -252,13 +252,18 @@ def wand_bm25_topk(
     index: FlameIndex,
     segments: DataFrame,
     k: int = 10,
+    exclude_docs=None,
 ) -> DataFrame:
     """Block-max WAND top-k over segments (M6) — identical results to
-    ``bm25_topk`` by construction (verified by tests)."""
+    ``bm25_topk`` by construction (verified by tests). ``exclude_docs``
+    suppresses tombstoned docs at serve time (live-docs semantics, see
+    wand.wand_topk)."""
     from .wand import wand_topk
 
     qterms = query_terms_local(spark, queries, index)
-    return wand_topk(qterms, segments, k, index.cfg.block_size)
+    return wand_topk(
+        qterms, segments, k, index.cfg.block_size, exclude_docs
+    )
 
 
 def wand_bm25_serve(
@@ -266,6 +271,7 @@ def wand_bm25_serve(
     index,
     segments_sharded: DataFrame,
     k: int = 10,
+    exclude_docs=None,
 ) -> list[tuple]:
     """Low-latency serving top-k: driver-side query pipeline + ONE
     Spark stage per query over the shard-partitioned segment cache
@@ -281,7 +287,9 @@ def wand_bm25_serve(
     for q in queries:
         qid = q["query_id"]
         qrows = [(t, c) for rqid, t, c in rows if rqid == qid]
-        res = wand_topk_serve(qrows, segments_sharded, k, index.cfg.block_size)
+        res = wand_topk_serve(
+            qrows, segments_sharded, k, index.cfg.block_size, exclude_docs
+        )
         out.extend((qid, r, d, s) for r, d, s in res)
     return out
 

@@ -32,15 +32,17 @@ from .segments import varbyte_decode
 
 
 def wand_topk_per_shard(
-    qseg: DataFrame, k: int, block_size: int
+    qseg: DataFrame, k: int, block_size: int, exclude_bc=None
 ) -> DataFrame:
     """qseg: (query_id, shard, term, qtf, n_docs, first_doc, last_doc,
     doc_deltas, scores, block_max) -> per-shard top-k
-    (query_id, doc_id, score)."""
+    (query_id, doc_id, score). ``exclude_bc``: optional broadcast of a
+    sorted int64 doc-id array to suppress (see _wand_shard_kernel)."""
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = pdf["query_id"].iloc[0]
-        top_docs, top_scores = _wand_shard_kernel(pdf, k, block_size)
+        excl = exclude_bc.value if exclude_bc is not None else None
+        top_docs, top_scores = _wand_shard_kernel(pdf, k, block_size, excl)
         return pd.DataFrame(
             {
                 "query_id": query_id,
@@ -55,11 +57,20 @@ def wand_topk_per_shard(
 
 
 def _wand_shard_kernel(
-    pdf: pd.DataFrame, k: int, block_size: int
+    pdf: pd.DataFrame, k: int, block_size: int,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over ONE shard's matching segment rows (columns
     term, qtf, doc_deltas, scores, block_max) -> (top docs, scores).
-    Shared by the distributed path and the one-stage serving path."""
+    Shared by the distributed path and the one-stage serving path.
+
+    ``exclude``: doc ids to suppress (the live-docs bitmap of a
+    tombstoned index — deletes become visible at SERVE time, before
+    the next merge re-scores the survivors). Excluded docs are dropped
+    from the candidate set before any bound or theta is computed, so
+    the result is exactly the top-k over surviving docs under the
+    STORED scores (re-scoring for the shrunken df/N happens at merge,
+    which also folds the tombstones in and empties the exclude set)."""
     # decode every term's postings for this shard; iterate terms in
     # ascending order — the global deterministic fold order
     pdf = pdf.sort_values("term")
@@ -81,6 +92,8 @@ def _wand_shard_kernel(
 
     # candidate docs = union of posting docs in this shard
     all_docs = np.unique(np.concatenate(term_docs))
+    if exclude is not None and exclude.size and all_docs.size:
+        all_docs = all_docs[np.isin(all_docs, exclude, invert=True)]
     if all_docs.size == 0:
         return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
 
@@ -167,6 +180,7 @@ def wand_topk_serve(
     segments_sharded: DataFrame,
     k: int,
     block_size: int,
+    exclude_docs=None,
 ) -> list[tuple]:
     """One-query low-latency top-k: (term, qtf) literals are pushed as
     an isin filter + a literal qtf map into a SINGLE stage over the
@@ -176,9 +190,17 @@ def wand_topk_serve(
     kernel, same tie-break (verified in tests).
 
     qterms_rows: [(term, qtf), ...] for ONE query.
+    ``exclude_docs``: tombstoned doc ids to suppress (closure-captured;
+    between merges the tombstone set is small — the merge folds it in).
     Returns [(rank, doc_id, score), ...].
     """
     from itertools import chain
+
+    excl = None
+    if exclude_docs is not None:
+        excl = np.unique(np.asarray(list(exclude_docs), dtype=np.int64))
+        if excl.size == 0:
+            excl = None
 
     terms = [int(t) for t, _ in qterms_rows]
     if not terms:
@@ -200,7 +222,7 @@ def wand_topk_serve(
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         outs = []
         for _, grp in pdf.groupby("shard", sort=False):
-            docs, scores = _wand_shard_kernel(grp, k, block_size)
+            docs, scores = _wand_shard_kernel(grp, k, block_size, excl)
             if docs.size:
                 outs.append(pd.DataFrame({"doc_id": docs, "score": scores}))
         if outs:
@@ -224,10 +246,22 @@ def wand_topk(
     segments: DataFrame,
     k: int,
     block_size: int,
+    exclude_docs=None,
 ) -> DataFrame:
     """qterms: (query_id, term, qtf) — idf already lives in the stored
     per-posting scores. segments: the segment table.
-    -> (query_id, rank, doc_id, score) global top-k."""
+    -> (query_id, rank, doc_id, score) global top-k.
+
+    ``exclude_docs``: iterable of tombstoned doc ids; broadcast to the
+    scorers and suppressed before any bound is computed (live-docs
+    semantics — the top-k over survivors under the stored scores)."""
+    exclude_bc = None
+    if exclude_docs is not None:
+        arr = np.unique(np.asarray(list(exclude_docs), dtype=np.int64))
+        if arr.size:
+            exclude_bc = (
+                segments.sparkSession.sparkContext.broadcast(arr)
+            )
     qseg = segments.join(F.broadcast(qterms), "term", "inner").select(
         "query_id",
         "shard",
@@ -237,7 +271,7 @@ def wand_topk(
         "scores",
         "block_max",
     )
-    partial = wand_topk_per_shard(qseg, k, block_size)
+    partial = wand_topk_per_shard(qseg, k, block_size, exclude_bc)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))

@@ -266,3 +266,51 @@ def test_delete_then_snapshot_history(spark, tmp_path):
         _seg_map(idx.warehouse.read_snapshot(spark, sid_before).collect())
         == before
     )
+
+
+def test_delete_is_immediately_serveable(spark, tmp_path):
+    """Between a delete and the next merge, serving must already
+    suppress the tombstoned docs: pass ``deleted_doc_ids`` as the
+    exclude set (live-docs semantics). After the merge the exclusion
+    is baked into the index itself."""
+    import os
+
+    from flame_spark.fastbuild import ServingIndex
+    from flame_spark.pipeline import wand_bm25_topk
+
+    raw = transcripts_df(spark, 10, 6)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(raw)
+    segs = idx.merge_segments(spark)
+    art = idx.load_serving_artifacts(spark)
+    _, _, stats = idx.merged_inputs(spark)
+    serving = ServingIndex(cfg=CFG, artifacts=art, stats=stats, segments=segs)
+    q = [{"query_id": "q0",
+          "query_text": "in nomine sancte et individue trinitatis amen"}]
+    base = wand_bm25_topk(spark, q, serving, segs, k=5).collect()
+    assert base, "formulaic query must match the fixture corpus"
+    top_doc = next(r["doc_id"] for r in base if r["rank"] == 1)
+
+    docmap = spark.read.parquet(os.path.join(idx.root, "docmap"))
+    conv = next(
+        r["conv_id"] for r in docmap.filter(F.col("doc_id") == top_doc).collect()
+    )
+    assert idx.delete_conversations(spark, [conv]) > 0
+    excl = idx.deleted_doc_ids(spark)
+    assert top_doc in set(excl.tolist())
+
+    # pre-merge: exclusion suppresses the deleted conv's docs at serve
+    after = wand_bm25_topk(
+        spark, q, serving, segs, k=5, exclude_docs=excl
+    ).collect()
+    deleted = set(excl.tolist())
+    assert after and not any(r["doc_id"] in deleted for r in after)
+    assert [r["rank"] for r in after] == list(range(1, len(after) + 1))
+
+    # post-merge: the index itself no longer contains the docs
+    merged = idx.merge_segments(spark)
+    serving2 = ServingIndex(
+        cfg=CFG, artifacts=art, stats=stats, segments=merged
+    )
+    final = wand_bm25_topk(spark, q, serving2, merged, k=5).collect()
+    assert final and not any(r["doc_id"] in deleted for r in final)

@@ -123,3 +123,53 @@ def test_kill_and_resume_identical(spark, built, tmp_path):
     }
     assert len(lineage) == len(shards_present)
     assert {int(r["shard"]) for r in lineage} == shards_present
+
+
+def test_wand_exclude_docs_live_delete_semantics(spark, built):
+    """Serve-time tombstone suppression: excluding docs that currently
+    OCCUPY top ranks must yield exactly the top-k over the survivors
+    under the stored scores (exhaustive-oracle re-rank), on both the
+    distributed and the one-stage serving path."""
+    from flame_spark.pipeline import wand_bm25_serve
+    from flame_spark.wand import segments_for_serving
+
+    index, segments = built
+    queries = reference_queries(k=10)
+    base = wand_bm25_topk(spark, queries, index, segments, k=10).collect()
+    excluded = sorted({r["doc_id"] for r in base if r["rank"] <= 2})
+    assert excluded, "fixture queries must have results"
+    exc = set(excluded)
+
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in wand_bm25_topk(
+            spark, queries, index, segments, k=10, exclude_docs=excluded
+        ).collect()
+    }
+    assert not any(d in exc for d, _ in got.values())
+
+    # oracle: exhaustive scoring over ALL docs, drop excluded, re-rank
+    want = {}
+    per_q: dict = {}
+    for r in bm25_topk(spark, queries, index, k=100_000).collect():
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in per_q.items():
+        rank = 0
+        for r in sorted(rows, key=lambda r: r["rank"]):
+            if r["doc_id"] in exc:
+                continue
+            rank += 1
+            if rank > 10:
+                break
+            want[(qid, rank)] = (r["doc_id"], r["score"])
+    assert got == want
+
+    # one-stage serving path agrees
+    sharded = segments_for_serving(segments, 4)
+    served = wand_bm25_serve(
+        queries, index, sharded, k=10, exclude_docs=excluded
+    )
+    assert {
+        (qid, rank): (doc, score) for qid, rank, doc, score in served
+    } == want
+    sharded.unpersist()
