@@ -381,6 +381,12 @@ class IncrementalIndexer:
         a forget-batch is O(its own size) until the next merge.
         """
         self._load_state()  # must be an initialized warehouse
+        if not os.path.isdir(os.path.join(self.root, "docmap")):
+            raise ValueError(
+                "delete_conversations: this warehouse predates docmap "
+                "tracking (no docmap/ table); rebuild it, or backfill "
+                "docmap/ingest=N from the original ingest batches"
+            )
         ids_df = spark.createDataFrame(
             [(c,) for c in conv_ids], "conv_id string"
         )

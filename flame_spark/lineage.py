@@ -123,14 +123,19 @@ class SegmentWarehouse:
         done = self.completed_shards(spark, input_snapshot)
         if out_root is not None:
             # lineage rows outlive snapshot expiry (append-only table);
-            # a shard only counts as done if its data dir still exists,
-            # so rebuilding a previously-expired snapshot re-encodes
-            # the deleted shards instead of committing missing files
-            done = {
-                s
-                for s in done
-                if os.path.isdir(os.path.join(out_root, f"shard={s}"))
-            }
+            # a shard only counts as done if its data dir still holds
+            # parquet files (expire() removes files, possibly leaving
+            # empty dirs), so rebuilding a previously-expired snapshot
+            # re-encodes the deleted shards instead of committing a
+            # manifest over missing files
+            def _has_parquet(shard: int) -> bool:
+                d = os.path.join(out_root, f"shard={shard}")
+                try:
+                    return any(f.endswith(".parquet") for f in os.listdir(d))
+                except FileNotFoundError:
+                    return False
+
+            done = {s for s in done if _has_parquet(s)}
         span = shard_span(n_docs, n_shards)
         # doc ids are dense over RAW rows while n_docs counts
         # filtered-in docs, so the top ids can spill past

@@ -193,3 +193,26 @@ def test_incremental_merge_commits_snapshots(spark, tmp_path):
     assert sid2 != sid1 and k2 != k1
     # previous merge still served exactly via time travel
     assert _table_key(idx.warehouse.read_snapshot(spark, sid1)) == k1
+
+
+def test_rebuild_after_expire_reencodes_deleted_shards(spark, corpora, tmp_path):
+    """Lineage rows outlive snapshot expiry; a rebuild of a previously-
+    expired input must RE-ENCODE the shards whose data dirs expire()
+    deleted rather than committing a manifest over missing files."""
+    (scored_a, n_a, snap_a), (scored_b, n_b, snap_b) = corpora
+    wh = SegmentWarehouse(str(tmp_path / "wh"))
+    wh.build_snapshot(scored_a, n_a, CFG.n_shards, CFG.block_size, snap_a)
+    key_a = _table_key(wh.read_snapshot(spark))
+    wh.build_snapshot(scored_b, n_b, CFG.n_shards, CFG.block_size, snap_b)
+    deleted = wh.snapshot_log.expire(keep_last=1)
+    assert deleted, "expire must drop snapshot A's data files"
+
+    # input A comes back (e.g. a rollback-and-replay): lineage still
+    # lists its shards as complete, but the files are gone
+    sid_a2 = wh.build_snapshot(
+        scored_a, n_a, CFG.n_shards, CFG.block_size, snap_a
+    )
+    got = _table_key(wh.read_snapshot(spark, sid_a2))
+    assert got == key_a
+    for f in wh.snapshot_log.files(sid_a2):
+        assert os.path.exists(f)
