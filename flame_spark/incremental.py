@@ -15,7 +15,9 @@ batch and re-derives everything downstream at merge time:
                               deletes resolve against
     tombstones/               (doc_id, conv_id) deleted docs; applied
                               as an anti-join at merge (see
-                              ``delete_conversations``)
+                              ``delete_conversations``); physically
+                              erased from every delta table by
+                              ``purge_tombstones``
     data/<snap>/shard=NN/     merged block-max segments, one IMMUTABLE
                               dir per merge (idempotent per-shard
                               build via SegmentWarehouse lineage)
@@ -414,6 +416,84 @@ class IncrementalIndexer:
             new.write.mode("append").parquet(self.tombstones_dir)
         new.unpersist()
         return n_new
+
+    def purge_tombstones(self, spark: SparkSession) -> int:
+        """PHYSICAL right-to-be-forgotten erasure: rewrite every delta
+        table (postings, doclens, docmap) without the tombstoned rows,
+        then drop the tombstone table itself — after this no byte of
+        the warehouse mentions the deleted docs. The logical tombstone
+        filter keeps merge/serve correct in the meantime, so purging
+        can run on whatever compliance schedule the operator needs.
+
+        Merge state is unaffected by construction: the tombstone filter
+        already excluded these rows from ``merged_inputs``, so the
+        post-purge postings content — and therefore the merge snapshot
+        id — is identical, and an immediate re-merge is a no-op commit.
+
+        Each rewritten dir swaps via rename (write ``X.new``, move
+        ``X`` -> ``X.old``, move ``X.new`` -> ``X``, delete ``X.old``);
+        ``_recover_purge`` (called first) rolls back or completes any
+        swap a crash interrupted. Returns the number of purged docs.
+
+        Scale: one anti-join per delta dir that actually contains
+        affected docs (cheap left-semi probe first); untouched ingest
+        generations are not rewritten.
+        """
+        import shutil
+
+        self._recover_purge()
+        if not os.path.isdir(self.tombstones_dir):
+            return 0
+        tomb = (
+            spark.read.parquet(self.tombstones_dir)
+            .select("doc_id")
+            .distinct()
+            .persist()
+        )
+        n = tomb.count()
+        for kind in ("postings", "doclens", "docmap"):
+            base = os.path.join(self.root, kind)
+            if not os.path.isdir(base):
+                continue
+            for d in sorted(os.listdir(base)):
+                if not d.startswith("ingest="):
+                    continue
+                path = os.path.join(base, d)
+                df = spark.read.parquet(path)
+                if df.join(tomb, "doc_id", "left_semi").limit(1).count() == 0:
+                    continue
+                df.join(tomb, "doc_id", "left_anti").write.mode(
+                    "overwrite"
+                ).parquet(path + ".new")
+                os.rename(path, path + ".old")
+                os.rename(path + ".new", path)
+                shutil.rmtree(path + ".old")
+        tomb.unpersist()
+        shutil.rmtree(self.tombstones_dir)
+        return n
+
+    def _recover_purge(self) -> None:
+        """Undo/complete a purge interrupted mid-swap: a leftover
+        ``X.old`` with no ``X`` means the new dir never moved in —
+        restore the old one; a leftover ``X.new`` is an incomplete
+        (invisible) write — drop it; a leftover ``X.old`` WITH ``X``
+        means only the cleanup was missed — finish it."""
+        import shutil
+
+        for kind in ("postings", "doclens", "docmap"):
+            base = os.path.join(self.root, kind)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                p = os.path.join(base, d)
+                if d.endswith(".old"):
+                    target = p[: -len(".old")]
+                    if os.path.isdir(target):
+                        shutil.rmtree(p)
+                    else:
+                        os.rename(p, target)
+                elif d.endswith(".new"):
+                    shutil.rmtree(p)
 
     def deleted_doc_ids(self, spark: SparkSession):
         """Sorted int64 array of tombstoned doc ids — the live-docs

@@ -314,3 +314,65 @@ def test_delete_is_immediately_serveable(spark, tmp_path):
     )
     final = wand_bm25_topk(spark, q, serving2, merged, k=5).collect()
     assert final and not any(r["doc_id"] in deleted for r in final)
+
+
+def test_purge_tombstones_physical_erasure(spark, tmp_path):
+    """After purge, NO delta table mentions the deleted docs, the
+    tombstone table itself is gone, and a re-merge is a no-op commit
+    (identical snapshot): the logical filter and the physical purge
+    produce the same postings content by construction."""
+    import os
+
+    raw = transcripts_df(spark, 10, 6)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(raw)
+    gone = ["conv000002", "conv000005"]
+    assert idx.delete_conversations(spark, gone) > 0
+    deleted = set(idx.deleted_doc_ids(spark).tolist())
+    before = _seg_map(idx.merge_segments(spark).collect())
+    sid = idx.warehouse.snapshot_log.current_id()
+
+    n = idx.purge_tombstones(spark)
+    assert n == len(deleted)
+    assert not os.path.isdir(idx.tombstones_dir)
+    assert idx.deleted_doc_ids(spark).size == 0
+    for kind in ("postings", "doclens", "docmap"):
+        df = spark.read.parquet(os.path.join(idx.root, kind))
+        assert df.filter(F.col("doc_id").isin(list(deleted))).count() == 0
+    docmap = spark.read.parquet(os.path.join(idx.root, "docmap"))
+    assert docmap.filter(F.col("conv_id").isin(gone)).count() == 0
+
+    # identical postings content -> same snapshot id, same segments
+    after = _seg_map(idx.merge_segments(spark).collect())
+    assert after == before
+    assert idx.warehouse.snapshot_log.current_id() == sid
+
+    # idempotent: purging again is a no-op
+    assert idx.purge_tombstones(spark) == 0
+
+
+def test_purge_crash_recovery(spark, tmp_path):
+    """A swap interrupted mid-purge (leftover .old / .new dirs) must
+    roll back to a consistent state on the next purge call."""
+    import os
+    import shutil
+
+    raw = transcripts_df(spark, 8, 6)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(raw)
+    idx.delete_conversations(spark, ["conv000001"])
+    expected = _seg_map(idx.merge_segments(spark).collect())
+
+    # simulate the worst crash window: X gone, X.old + X.new both left
+    base = os.path.join(idx.root, "postings")
+    d = os.path.join(base, "ingest=0")
+    shutil.copytree(d, d + ".new")
+    os.rename(d, d + ".old")
+    assert not os.path.isdir(d)
+
+    n = idx.purge_tombstones(spark)  # recovers, then purges
+    assert n > 0
+    assert os.path.isdir(d)
+    assert not os.path.isdir(d + ".old") and not os.path.isdir(d + ".new")
+    again = _seg_map(idx.merge_segments(spark).collect())
+    assert again == expected
