@@ -216,3 +216,67 @@ def test_rebuild_after_expire_reencodes_deleted_shards(spark, corpora, tmp_path)
     assert got == key_a
     for f in wh.snapshot_log.files(sid_a2):
         assert os.path.exists(f)
+
+
+def test_warehouse_admin_cli(spark, tmp_path, capsys):
+    """tools/warehouse_admin.py: snapshots/rollback/expire are
+    metadata-only; delete/deleted/purge drive the tombstone flow."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "warehouse_admin", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "warehouse_admin.py",
+        ),
+    )
+    admin = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(admin)
+
+    from flame_spark.incremental import IncrementalIndexer
+
+    cfg = FlameConfig(
+        ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+        term_mode="lno", n_shards=3, block_size=4,
+    )
+    root = str(tmp_path / "wh")
+    idx = IncrementalIndexer(root, cfg)
+    idx.initial_build(transcripts_df(spark, 6, 5))
+    idx.merge_segments(spark)
+    idx.ingest(
+        transcripts_df(spark, 8, 5).filter("conv_id > 'conv000005'"),
+        on_oov="extend",
+    )
+    idx.merge_segments(spark)
+
+    def run(*argv):
+        assert admin.main(list(argv)) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        return [_json.loads(l) for l in out if l.startswith("{")]
+
+    snaps = run(root, "snapshots")
+    assert len(snaps) == 2 and snaps[0]["head"] and not snaps[1]["head"]
+    assert {s["operation"] for s in snaps} == {"merge"}
+
+    # rollback to the older snapshot; the newer one is then off-chain
+    old, new = snaps[1]["snapshot_id"], snaps[0]["snapshot_id"]
+    assert run(root, "rollback", old)[0]["head"] == old
+    with pytest.raises(ValueError):
+        admin.main([root, "rollback", new])
+    capsys.readouterr()
+
+    # tombstone flow (delete -> deleted -> purge); cfg-independent ops
+    assert run(root, "--cpus", "4", "delete", "conv000001")[0][
+        "tombstoned_docs"
+    ] > 0
+    d = run(root, "--cpus", "4", "deleted")[0]
+    assert d["n_tombstoned"] > 0 and d["doc_ids"]
+    assert run(root, "--cpus", "4", "purge")[0]["purged_docs"] == d[
+        "n_tombstoned"
+    ]
+    assert run(root, "--cpus", "4", "deleted")[0]["n_tombstoned"] == 0
+
+    # expire down to HEAD only
+    e = run(root, "expire", "--keep", "1")[0]
+    assert e["head"] == old
+    assert [m["snapshot_id"] for m in run(root, "snapshots")] == [old]

@@ -1,0 +1,110 @@
+"""Operator CLI for a segment warehouse (snapshot log + tombstones).
+
+    python tools/warehouse_admin.py <warehouse_dir> snapshots
+    python tools/warehouse_admin.py <warehouse_dir> rollback <snapshot_id>
+    python tools/warehouse_admin.py <warehouse_dir> expire [--keep 2]
+    python tools/warehouse_admin.py <warehouse_dir> deleted
+    python tools/warehouse_admin.py <warehouse_dir> delete <conv_id> [...]
+    python tools/warehouse_admin.py <warehouse_dir> purge
+
+``snapshots`` / ``rollback`` / ``expire`` are metadata-only
+(SnapshotLog, no Spark session). ``deleted`` / ``delete`` / ``purge``
+operate on an IncrementalIndexer warehouse and start a local Spark
+session; pass ``--cpus`` to bound it. Every command prints one JSON
+line per result row (machine-consumable, like submit_job.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="warehouse_admin")
+    ap.add_argument("root")
+    ap.add_argument(
+        "command",
+        choices=["snapshots", "rollback", "expire", "deleted", "delete", "purge"],
+    )
+    ap.add_argument("args", nargs="*")
+    ap.add_argument("--keep", type=int, default=2)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--lenient", action="store_true",
+                    help="delete: ignore unknown conv_ids instead of erroring")
+    a = ap.parse_args(argv)
+
+    from flame_spark.lineage import SnapshotLog
+
+    log = SnapshotLog(a.root)
+
+    if a.command == "snapshots":
+        head = log.current_id()
+        for m in log.snapshots():
+            print(json.dumps({
+                "snapshot_id": m["snapshot_id"],
+                "sequence": m["sequence"],
+                "operation": m["operation"],
+                "committed_at": m["committed_at"],
+                "n_files": len(m["files"]),
+                "head": m["snapshot_id"] == head,
+                "summary": m["summary"],
+            }))
+        return 0
+
+    if a.command == "rollback":
+        if len(a.args) != 1:
+            ap.error("rollback needs exactly one snapshot_id")
+        log.rollback(a.args[0])
+        print(json.dumps({"head": log.current_id()}))
+        return 0
+
+    if a.command == "expire":
+        deleted = log.expire(keep_last=a.keep)
+        print(json.dumps({
+            "expired_files": len(deleted), "kept": a.keep,
+            "head": log.current_id(),
+        }))
+        return 0
+
+    # Spark-backed warehouse commands. Tombstone ops are pure parquet
+    # joins over warehouse paths — no tokenization/scoring — so the
+    # indexer's cfg is irrelevant here and a default one is fine.
+    from flame_spark.config import FlameConfig
+    from flame_spark.incremental import IncrementalIndexer
+    from flame_spark.session import get_spark
+
+    idx = IncrementalIndexer(a.root, FlameConfig())
+    from pyspark.sql import SparkSession
+
+    # only stop the session if this invocation created it (when driven
+    # in-process, e.g. from tests, the caller owns the session)
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("warehouse_admin", cpus=a.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if a.command == "deleted":
+            ids = idx.deleted_doc_ids(spark)
+            print(json.dumps({"n_tombstoned": int(ids.size),
+                              "doc_ids": [int(x) for x in ids[:1000]]}))
+        elif a.command == "delete":
+            if not a.args:
+                ap.error("delete needs at least one conv_id")
+            n = idx.delete_conversations(
+                spark, list(a.args), strict=not a.lenient
+            )
+            print(json.dumps({"tombstoned_docs": n}))
+        elif a.command == "purge":
+            n = idx.purge_tombstones(spark)
+            print(json.dumps({"purged_docs": n}))
+    finally:
+        if owns_session:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
