@@ -13,6 +13,9 @@ batch and re-derives everything downstream at merge time:
     postings/ingest=N/        (term, doc_id, tf, dl)
     docmap/ingest=N/          (doc_id, conv_id, turn_idx) — the id map
                               deletes resolve against
+    */compact-G/              rollup generations: ``compact_deltas``
+                              folds many small ingest dirs into one
+                              (crash-safe marker-guided swap)
     tombstones/               (doc_id, conv_id) deleted docs; applied
                               as an anti-join at merge (see
                               ``delete_conversations``); physically
@@ -131,7 +134,18 @@ class IncrementalIndexer:
 
     def _vocab_df(self, spark: SparkSession):
         """Full token->id table (tok, tid) across all ingests."""
-        return spark.read.parquet(os.path.join(self.root, "vocab"))
+        return self._read_table(spark, "vocab")
+
+    def _read_table(self, spark: SparkSession, kind: str):
+        """Whole-table read across every delta generation. Recursive
+        lookup, because generations are a mix of hive-style ingest=N
+        dirs and flat compact-<gen> rollups (compact_deltas) — the
+        implied ``ingest`` partition column was never consumed, so
+        recursion losing it changes nothing."""
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(self.root, kind))
+        )
 
     def load_serving_artifacts(self, spark: SparkSession) -> CorpusArtifacts:
         """Pinned artifacts reflecting the CURRENT vocabulary — the
@@ -392,7 +406,7 @@ class IncrementalIndexer:
         ids_df = spark.createDataFrame(
             [(c,) for c in conv_ids], "conv_id string"
         )
-        docmap = spark.read.parquet(os.path.join(self.root, "docmap"))
+        docmap = self._read_table(spark, "docmap")
         targets = docmap.join(F.broadcast(ids_df), "conv_id")
         if strict:
             found = {
@@ -456,7 +470,8 @@ class IncrementalIndexer:
             if not os.path.isdir(base):
                 continue
             for d in sorted(os.listdir(base)):
-                if not d.startswith("ingest="):
+                # delta generations: ingest=N plus compact-G rollups
+                if not (d.startswith("ingest=") or d.startswith("compact-")):
                     continue
                 path = os.path.join(base, d)
                 df = spark.read.parquet(path)
@@ -472,18 +487,106 @@ class IncrementalIndexer:
         shutil.rmtree(self.tombstones_dir)
         return n
 
-    def _recover_purge(self) -> None:
-        """Undo/complete a purge interrupted mid-swap: a leftover
-        ``X.old`` with no ``X`` means the new dir never moved in —
-        restore the old one; a leftover ``X.new`` is an incomplete
-        (invisible) write — drop it; a leftover ``X.old`` WITH ``X``
-        means only the cleanup was missed — finish it."""
+    def compact_deltas(self, spark: SparkSession, target_mb: int = 64) -> int:
+        """Roll every delta generation of each table (postings, doclens,
+        docmap, vocab) into ONE ``compact-<gen>`` dir with ~``target_mb``
+        parquet files — a long-running warehouse otherwise accretes one
+        small dir per ingest and scan-side file listing becomes the
+        bottleneck. Content (and therefore the next merge's snapshot
+        id) is unchanged; an immediate re-merge is a no-op commit.
+
+        Uses the same crash-safe swap + recovery protocol as
+        ``purge_tombstones``, applied per generation dir: the combined
+        table lands in ``compact-<gen>.new`` first, old generation dirs
+        move aside and are removed only after the new dir is in place.
+        Returns the number of generation dirs removed."""
         import shutil
 
-        for kind in ("postings", "doclens", "docmap"):
+        self._recover_purge()
+        removed = 0
+        for kind in ("postings", "doclens", "docmap", "vocab"):
             base = os.path.join(self.root, kind)
             if not os.path.isdir(base):
                 continue
+            gens = sorted(
+                d
+                for d in os.listdir(base)
+                if d.startswith("ingest=") or d.startswith("compact-")
+            )
+            if len(gens) <= 1:
+                continue
+            gen_no = 1 + max(
+                (int(d.split("-", 1)[1]) for d in gens if d.startswith("compact-")),
+                default=-1,
+            )
+            total = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for g in gens
+                for dp, _, fs in os.walk(os.path.join(base, g))
+                for f in fs
+            )
+            n_files = max(1, total // (target_mb * 1024 * 1024) + 1)
+            dest = os.path.join(base, f"compact-{gen_no}")
+            df = spark.read.parquet(*(os.path.join(base, g) for g in gens))
+            df.repartition(int(n_files)).write.mode("overwrite").parquet(
+                dest + ".new"
+            )
+            # multi-dir swap needs a commit marker: recovery rolls BACK
+            # (restore gens, drop dest.new) while dest is absent, and
+            # rolls FORWARD (drop .old gens) once dest exists — without
+            # the marker a crash after the dest rename would restore
+            # the old generations NEXT TO the compacted one (double
+            # counting)
+            marker = os.path.join(base, ".compact.pending")
+            with open(marker + ".tmp", "w", encoding="utf-8") as f:
+                json.dump({"dest": os.path.basename(dest), "gens": gens}, f)
+            os.replace(marker + ".tmp", marker)
+            for g in gens:
+                os.rename(os.path.join(base, g), os.path.join(base, g + ".old"))
+            os.rename(dest + ".new", dest)
+            for g in gens:
+                shutil.rmtree(os.path.join(base, g + ".old"))
+            os.remove(marker)
+            removed += len(gens)
+        return removed
+
+    def _recover_purge(self) -> None:
+        """Undo/complete a purge or compaction interrupted mid-swap.
+
+        Compaction first (its ``.compact.pending`` marker decides the
+        direction): roll FORWARD if the compacted dir landed (drop the
+        superseded ``.old`` generations), roll BACK otherwise (restore
+        generations, drop the unpublished ``.new``). Then the generic
+        per-dir rules for purge swaps: a leftover ``X.old`` with no
+        ``X`` means the new dir never moved in — restore the old one; a
+        leftover ``X.new`` is an incomplete (invisible) write — drop
+        it; ``X.old`` WITH ``X`` means only the cleanup was missed —
+        finish it."""
+        import shutil
+
+        for kind in ("postings", "doclens", "docmap", "vocab"):
+            base = os.path.join(self.root, kind)
+            if not os.path.isdir(base):
+                continue
+            marker = os.path.join(base, ".compact.pending")
+            if os.path.exists(marker):
+                with open(marker, encoding="utf-8") as f:
+                    pend = json.load(f)
+                dest = os.path.join(base, pend["dest"])
+                if os.path.isdir(dest):  # committed -> roll forward
+                    for g in pend["gens"]:
+                        for leftover in (g, g + ".old"):
+                            p = os.path.join(base, leftover)
+                            if os.path.isdir(p):
+                                shutil.rmtree(p)
+                else:  # not committed -> roll back
+                    for g in pend["gens"]:
+                        old = os.path.join(base, g + ".old")
+                        if os.path.isdir(old):
+                            os.rename(old, os.path.join(base, g))
+                    if os.path.isdir(dest + ".new"):
+                        shutil.rmtree(dest + ".new")
+                os.remove(marker)
             for d in os.listdir(base):
                 p = os.path.join(base, d)
                 if d.endswith(".old"):
@@ -522,8 +625,8 @@ class IncrementalIndexer:
         minus tombstoned docs (anti-join; AQE broadcasts the tombstone
         side while it is small). Stats are computed AFTER the filter,
         so df/N/avgdl reflect only surviving docs."""
-        postings_dl = spark.read.parquet(os.path.join(self.root, "postings"))
-        doclens = spark.read.parquet(os.path.join(self.root, "doclens"))
+        postings_dl = self._read_table(spark, "postings")
+        doclens = self._read_table(spark, "doclens")
         if os.path.isdir(self.tombstones_dir):
             tomb = (
                 spark.read.parquet(self.tombstones_dir)

@@ -376,3 +376,87 @@ def test_purge_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(d + ".old") and not os.path.isdir(d + ".new")
     again = _seg_map(idx.merge_segments(spark).collect())
     assert again == expected
+
+
+def test_compact_deltas_preserves_merge(spark, tmp_path):
+    """Compacting many ingest generations into one rollup leaves the
+    postings content — and so the merge snapshot — identical, while
+    collapsing the per-ingest dir sprawl."""
+    import os
+
+    full = transcripts_df(spark, 12, 6).persist()
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(full.filter(F.col("conv_id") < "conv000006"))
+    idx.ingest(
+        full.filter(
+            (F.col("conv_id") >= "conv000006") & (F.col("conv_id") < "conv000009")
+        ),
+        on_oov="extend",
+    )
+    idx.ingest(full.filter(F.col("conv_id") >= "conv000009"), on_oov="extend")
+    before = _seg_map(idx.merge_segments(spark).collect())
+    sid = idx.warehouse.snapshot_log.current_id()
+
+    removed = idx.compact_deltas(spark)
+    assert removed > 0
+    for kind in ("postings", "doclens", "docmap", "vocab"):
+        gens = [
+            d for d in os.listdir(os.path.join(idx.root, kind))
+            if d.startswith("ingest=") or d.startswith("compact-")
+        ]
+        assert gens == ["compact-0"], (kind, gens)
+
+    after = _seg_map(idx.merge_segments(spark).collect())
+    assert after == before
+    assert idx.warehouse.snapshot_log.current_id() == sid
+
+    # another ingest + delete + purge keep working on the compacted
+    # layout (purge must rewrite compact dirs too)
+    more = transcripts_df(spark, 14, 6).filter(F.col("conv_id") >= "conv000012")
+    idx.ingest(more, on_oov="extend")
+    assert idx.delete_conversations(spark, ["conv000001"]) > 0
+    merged = _seg_map(idx.merge_segments(spark).collect())
+    assert idx.purge_tombstones(spark) > 0
+    assert _seg_map(idx.merge_segments(spark).collect()) == merged
+    full.unpersist()
+
+
+def test_compact_crash_recovery_both_directions(spark, tmp_path):
+    import json
+    import os
+    import shutil
+
+    raw = transcripts_df(spark, 8, 6)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(raw.filter(F.col("conv_id") < "conv000005"))
+    idx.ingest(raw.filter(F.col("conv_id") >= "conv000005"), on_oov="extend")
+    expected = _seg_map(idx.merge_segments(spark).collect())
+    base = os.path.join(idx.root, "postings")
+    gens = sorted(d for d in os.listdir(base) if d.startswith("ingest="))
+
+    # ROLLBACK window: marker written, gens moved aside, dest not yet in
+    marker = os.path.join(base, ".compact.pending")
+    with open(marker, "w") as f:
+        json.dump({"dest": "compact-0", "gens": gens}, f)
+    os.makedirs(os.path.join(base, "compact-0.new"))
+    for g in gens:
+        os.rename(os.path.join(base, g), os.path.join(base, g + ".old"))
+    idx._recover_purge()
+    assert sorted(
+        d for d in os.listdir(base) if d.startswith("ingest=")
+    ) == gens
+    assert not os.path.exists(marker)
+    assert _seg_map(idx.merge_segments(spark).collect()) == expected
+
+    # ROLL-FORWARD window: dest in place, .old gens + marker left over
+    n = idx.compact_deltas(spark)  # counts dirs across all four tables
+    assert n >= len(gens)
+    # simulate the crash: fabricate .old leftovers + marker post-commit
+    with open(marker, "w") as f:
+        json.dump({"dest": "compact-0", "gens": gens}, f)
+    for g in gens:
+        os.makedirs(os.path.join(base, g + ".old"))
+    idx._recover_purge()
+    assert not os.path.exists(marker)
+    assert not any(d.endswith(".old") for d in os.listdir(base))
+    assert _seg_map(idx.merge_segments(spark).collect()) == expected
