@@ -387,6 +387,8 @@ class SnapshotLog:
         """Drop snapshots older than the newest ``keep_last`` on the
         HEAD chain; delete data files no retained snapshot references.
         Returns the deleted data-file paths."""
+        if keep_last < 1:
+            raise ValueError("expire: keep_last must be >= 1 (HEAD is live)")
         chain = self.snapshots()
         keep, drop = chain[:keep_last], chain[keep_last:]
         keep_files = {f for m in keep for f in m["files"]}

@@ -6,6 +6,7 @@
     python tools/warehouse_admin.py <warehouse_dir> deleted
     python tools/warehouse_admin.py <warehouse_dir> delete <conv_id> [...]
     python tools/warehouse_admin.py <warehouse_dir> purge
+    python tools/warehouse_admin.py <warehouse_dir> compact
 
 ``snapshots`` / ``rollback`` / ``expire`` are metadata-only
 (SnapshotLog, no Spark session). ``deleted`` / ``delete`` / ``purge``
@@ -28,7 +29,7 @@ def main(argv=None) -> int:
     ap.add_argument("root")
     ap.add_argument(
         "command",
-        choices=["snapshots", "rollback", "expire", "deleted", "delete", "purge"],
+        choices=["snapshots", "rollback", "expire", "deleted", "delete", "purge", "compact"],
     )
     ap.add_argument("args", nargs="*")
     ap.add_argument("--keep", type=int, default=2)
@@ -100,6 +101,9 @@ def main(argv=None) -> int:
         elif a.command == "purge":
             n = idx.purge_tombstones(spark)
             print(json.dumps({"purged_docs": n}))
+        elif a.command == "compact":
+            n = idx.compact_deltas(spark)
+            print(json.dumps({"compacted_dirs": n}))
     finally:
         if owns_session:
             spark.stop()
