@@ -143,6 +143,13 @@ def main(argv=None):
     from .artifacts_io import save_artifacts
 
     save_artifacts(index.artifacts, os.path.join(args.output_dir, "artifacts.json"))
+    if index.artifacts.encoder is None and index.artifacts.encoder_df is not None:
+        # distributed-vocab build: the token->id table lives in parquet
+        # (artifacts.json stores encoder: null) — persist it here or the
+        # vocabulary would be lost to artifact consumers
+        index.artifacts.encoder_df.write.mode("overwrite").parquet(
+            os.path.join(args.output_dir, "vocab.parquet")
+        )
 
     if not args.no_reports:
         summary_related_docs(pairs, index.docs, threshold).write.mode(

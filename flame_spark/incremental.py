@@ -141,7 +141,11 @@ class IncrementalIndexer:
         lookup, because generations are a mix of hive-style ingest=N
         dirs and flat compact-<gen> rollups (compact_deltas) — the
         implied ``ingest`` partition column was never consumed, so
-        recursion losing it changes nothing."""
+        recursion losing it changes nothing. Swap leftovers from a
+        crashed purge/compaction (``*.old`` / ``*.new`` dirs) would be
+        double-counted by the recursive listing, so recovery runs
+        first (idempotent, filesystem-only)."""
+        self._recover_purge()
         return (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(os.path.join(self.root, kind))
@@ -158,8 +162,14 @@ class IncrementalIndexer:
             art = load_artifacts(
                 self.artifacts_path, vocab_df=self._vocab_df(spark)
             )
-        art.n_vocab = int(state["n_vocab"])
-        art.hash_base = int(state["hash_base"])
+        # older warehouses (pre OOV-extend) stored neither key; the
+        # values in artifacts.json are then already correct
+        if "n_vocab" in state:
+            art.n_vocab = int(state["n_vocab"])
+        if "hash_base" in state:
+            art.hash_base = int(state["hash_base"])
+        if art.hash_base is None:
+            art.hash_base = int(art.n_vocab)
         return art
 
     def _load_state(self) -> dict:
@@ -207,6 +217,8 @@ class IncrementalIndexer:
         # doc ids are assigned over RAW rows (before the min-length
         # filter), exactly like the full-rebuild path — the offset must
         # therefore advance by the raw row count
+        from dataclasses import asdict
+
         self._save_state(
             {
                 "next_doc_id": int(agg["n"]),
@@ -214,6 +226,10 @@ class IncrementalIndexer:
                 "max_conv_id": agg["m"],
                 "n_vocab": int(artifacts.n_vocab),
                 "hash_base": int(artifacts.hash_base),
+                # the build config, so warehouse tooling (e.g.
+                # tools/warehouse_admin.py merge) can reconstruct the
+                # indexer without the original driver script
+                "cfg": asdict(self.cfg),
             }
         )
 
@@ -245,15 +261,19 @@ class IncrementalIndexer:
             "doc_id", F.col("doc_id") + F.lit(int(state["next_doc_id"]))
         )
         ingest_no = state["n_ingests"]
-        with_ids.select("doc_id", "conv_id", "turn_idx").write.mode(
-            "overwrite"
-        ).parquet(self._docmap_dir(ingest_no))
         tdf = with_ids.select("doc_id", "text")
         docs, _ = prepare_docs(tdf, self.cfg, artifacts)
         if on_oov == "error":
+            # validate BEFORE any warehouse write: a refused batch must
+            # leave no docmap rows (their doc ids get reassigned to the
+            # next successful ingest, and a delete in the gap would
+            # tombstone those future docs)
             self._check_vocab_closure(docs, artifacts)
         elif on_oov == "extend":
             artifacts = self._extend_vocab(docs, artifacts, state, ingest_no)
+        with_ids.select("doc_id", "conv_id", "turn_idx").write.mode(
+            "overwrite"
+        ).parquet(self._docmap_dir(ingest_no))
         self._write_ingest(docs, artifacts, ingest_no)
         agg = new_raw.agg(
             F.max("conv_id").alias("m"), F.count("*").alias("n")
@@ -431,13 +451,26 @@ class IncrementalIndexer:
         new.unpersist()
         return n_new
 
-    def purge_tombstones(self, spark: SparkSession) -> int:
+    def purge_tombstones(
+        self, spark: SparkSession, expire_old_snapshots: bool = True
+    ) -> int:
         """PHYSICAL right-to-be-forgotten erasure: rewrite every delta
         table (postings, doclens, docmap) without the tombstoned rows,
         then drop the tombstone table itself — after this no byte of
         the warehouse mentions the deleted docs. The logical tombstone
         filter keeps merge/serve correct in the meantime, so purging
         can run on whatever compliance schedule the operator needs.
+
+        PRECONDITION (enforced): the current segment snapshot must
+        already have the deletes folded in — i.e. ``merge_segments``
+        ran after the last ``delete_conversations``. Purging earlier
+        would empty ``deleted_doc_ids`` (the serve-time exclude set)
+        while the served segments still contain the docs, silently
+        resurrecting them; a ValueError tells the operator to merge
+        first. With ``expire_old_snapshots`` (default) the snapshot log
+        is then expired to HEAD only, so no retained pre-delete segment
+        snapshot keeps the deleted docs' bytes either — set it False to
+        keep time travel at the cost of the full-erasure guarantee.
 
         Merge state is unaffected by construction: the tombstone filter
         already excluded these rows from ``merged_inputs``, so the
@@ -458,6 +491,20 @@ class IncrementalIndexer:
         self._recover_purge()
         if not os.path.isdir(self.tombstones_dir):
             return 0
+        log = self.warehouse.snapshot_log
+        head = log.current_id()
+        if head is not None:
+            postings_dl, _, _ = self.merged_inputs(spark)
+            from .lineage import snapshot_id as _snap_id
+
+            current = _snap_id(postings_dl, ["term", "doc_id", "tf"])
+            if log.manifest(head)["summary"].get("input_snapshot") != current:
+                raise ValueError(
+                    "purge_tombstones: the served snapshot predates the "
+                    "tombstones — run merge_segments first, then purge "
+                    "(purging now would re-expose the deleted docs at "
+                    "serve time)"
+                )
         tomb = (
             spark.read.parquet(self.tombstones_dir)
             .select("doc_id")
@@ -485,6 +532,8 @@ class IncrementalIndexer:
                 shutil.rmtree(path + ".old")
         tomb.unpersist()
         shutil.rmtree(self.tombstones_dir)
+        if expire_old_snapshots and head is not None:
+            log.expire(keep_last=1)
         return n
 
     def compact_deltas(self, spark: SparkSession, target_mb: int = 64) -> int:

@@ -385,12 +385,22 @@ class SnapshotLog:
 
     def expire(self, keep_last: int = 2) -> list[str]:
         """Drop snapshots older than the newest ``keep_last`` on the
-        HEAD chain; delete data files no retained snapshot references.
-        Returns the deleted data-file paths."""
+        HEAD chain — plus any snapshot NOT on the HEAD chain at all
+        (branches orphaned by ``rollback`` would otherwise leak their
+        manifests and data files forever) — and delete data files no
+        retained snapshot references. Returns the deleted data-file
+        paths."""
         if keep_last < 1:
             raise ValueError("expire: keep_last must be >= 1 (HEAD is live)")
         chain = self.snapshots()
         keep, drop = chain[:keep_last], chain[keep_last:]
+        on_chain = {m["snapshot_id"] for m in chain}
+        for fname in sorted(os.listdir(self.dir)):
+            if not (fname.startswith("snap-") and fname.endswith(".json")):
+                continue
+            sid = fname[len("snap-") : -len(".json")]
+            if sid not in on_chain:
+                drop.append(self.manifest(sid))
         keep_files = {f for m in keep for f in m["files"]}
         deleted = []
         for m in drop:

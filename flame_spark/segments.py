@@ -133,13 +133,16 @@ def build_segments(
 ) -> DataFrame:
     """(term, doc_id, tf, s) -> segment rows, one per (shard, term)."""
     span = shard_span(n_docs, n_shards)
-    # pin the encode exchange to ONE SHARD PER TASK instead of the
-    # global shuffle-partition count: per-task memory is then bounded
-    # by a single shard's postings regardless of session conf, and the
-    # encode stage packs as n_shards small tasks (several waves) rather
-    # than core-count jumbo tasks whose stragglers land directly in the
-    # build's wall clock. HashPartitioning(shard, n_shards) satisfies
-    # the groupBy's ClusteredDistribution, so no second exchange.
+    # pin the encode exchange to n_shards partitions instead of the
+    # global shuffle-partition count. Hash partitioning collides some
+    # shard ids into one task (and leaves others empty), so this is
+    # NOT exactly one shard per task — but applyInPandas buffers one
+    # GROUP (= one shard) at a time, so per-task peak memory stays
+    # bounded by a single shard's postings either way, and the stage
+    # still packs as ~n_shards small tasks rather than core-count
+    # jumbo tasks whose stragglers land directly in the build's wall
+    # clock. HashPartitioning(shard, n_shards) satisfies the groupBy's
+    # ClusteredDistribution, so no second exchange.
     with_shard = postings_scored.withColumn(
         "shard", (F.col("doc_id") / F.lit(span)).cast("int")
     ).repartition(n_shards, "shard")

@@ -198,7 +198,12 @@ def wand_topk_serve(
 
     excl = None
     if exclude_docs is not None:
-        excl = np.unique(np.asarray(list(exclude_docs), dtype=np.int64))
+        arr = (
+            exclude_docs
+            if isinstance(exclude_docs, np.ndarray)
+            else np.asarray(list(exclude_docs), dtype=np.int64)
+        )
+        excl = np.unique(arr.astype(np.int64, copy=False))
         if excl.size == 0:
             excl = None
 
@@ -257,8 +262,16 @@ def wand_topk(
     semantics — the top-k over survivors under the stored scores)."""
     exclude_bc = None
     if exclude_docs is not None:
-        arr = np.unique(np.asarray(list(exclude_docs), dtype=np.int64))
+        arr = (
+            exclude_docs
+            if isinstance(exclude_docs, np.ndarray)
+            else np.asarray(list(exclude_docs), dtype=np.int64)
+        )
+        arr = np.unique(arr.astype(np.int64, copy=False))
         if arr.size:
+            # per-call broadcast; Spark's ContextCleaner reclaims it
+            # once the returned plan is garbage-collected, so repeated
+            # calls don't accumulate live broadcasts
             exclude_bc = (
                 segments.sparkSession.sparkContext.broadcast(arr)
             )

@@ -265,18 +265,23 @@ def test_warehouse_admin_cli(spark, tmp_path, capsys):
         admin.main([root, "rollback", new])
     capsys.readouterr()
 
-    # tombstone flow (delete -> deleted -> purge); cfg-independent ops
+    # tombstone flow: delete -> merge (purge requires the deletes be
+    # folded into the served snapshot) -> purge; cfg comes from the
+    # persisted state.json
     assert run(root, "--cpus", "4", "delete", "conv000001")[0][
         "tombstoned_docs"
     ] > 0
     d = run(root, "--cpus", "4", "deleted")[0]
     assert d["n_tombstoned"] > 0 and d["doc_ids"]
+    with pytest.raises(ValueError, match="merge_segments first"):
+        admin.main([root, "--cpus", "4", "purge"])
+    capsys.readouterr()
+    h2 = run(root, "--cpus", "4", "merge")[0]["snapshot"]
+    assert h2 not in (old, new)
     assert run(root, "--cpus", "4", "purge")[0]["purged_docs"] == d[
         "n_tombstoned"
     ]
     assert run(root, "--cpus", "4", "deleted")[0]["n_tombstoned"] == 0
-
-    # expire down to HEAD only
-    e = run(root, "expire", "--keep", "1")[0]
-    assert e["head"] == old
-    assert [m["snapshot_id"] for m in run(root, "snapshots")] == [old]
+    # purge expired the log to the delete-folded HEAD only — including
+    # the branch orphaned by the earlier rollback
+    assert [m["snapshot_id"] for m in run(root, "snapshots")] == [h2]

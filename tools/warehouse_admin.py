@@ -7,6 +7,7 @@
     python tools/warehouse_admin.py <warehouse_dir> delete <conv_id> [...]
     python tools/warehouse_admin.py <warehouse_dir> purge
     python tools/warehouse_admin.py <warehouse_dir> compact
+    python tools/warehouse_admin.py <warehouse_dir> merge
 
 ``snapshots`` / ``rollback`` / ``expire`` are metadata-only
 (SnapshotLog, no Spark session). ``deleted`` / ``delete`` / ``purge``
@@ -29,7 +30,7 @@ def main(argv=None) -> int:
     ap.add_argument("root")
     ap.add_argument(
         "command",
-        choices=["snapshots", "rollback", "expire", "deleted", "delete", "purge", "compact"],
+        choices=["snapshots", "rollback", "expire", "deleted", "delete", "purge", "compact", "merge"],
     )
     ap.add_argument("args", nargs="*")
     ap.add_argument("--keep", type=int, default=2)
@@ -72,13 +73,24 @@ def main(argv=None) -> int:
         return 0
 
     # Spark-backed warehouse commands. Tombstone ops are pure parquet
-    # joins over warehouse paths — no tokenization/scoring — so the
-    # indexer's cfg is irrelevant here and a default one is fine.
+    # joins over warehouse paths, but `merge` re-scores postings, so
+    # the build cfg (persisted in state.json since the cfg key landed)
+    # is reconstructed when present; tombstone ops work either way.
+    import os
+
     from flame_spark.config import FlameConfig
     from flame_spark.incremental import IncrementalIndexer
     from flame_spark.session import get_spark
 
-    idx = IncrementalIndexer(a.root, FlameConfig())
+    cfg = FlameConfig()
+    try:
+        with open(os.path.join(a.root, "state.json"), encoding="utf-8") as f:
+            saved = json.load(f).get("cfg")
+        if saved:
+            cfg = FlameConfig(**saved)
+    except FileNotFoundError:
+        pass
+    idx = IncrementalIndexer(a.root, cfg)
     from pyspark.sql import SparkSession
 
     # only stop the session if this invocation created it (when driven
@@ -104,6 +116,17 @@ def main(argv=None) -> int:
         elif a.command == "compact":
             n = idx.compact_deltas(spark)
             print(json.dumps({"compacted_dirs": n}))
+        elif a.command == "merge":
+            if "cfg" not in json.load(open(
+                os.path.join(a.root, "state.json"), encoding="utf-8"
+            )):
+                ap.error("merge: this warehouse predates the persisted "
+                         "cfg; run merge_segments from the build script")
+            segs = idx.merge_segments(spark)
+            print(json.dumps({
+                "segments": segs.count(),
+                "snapshot": idx.warehouse.snapshot_log.current_id(),
+            }))
     finally:
         if owns_session:
             spark.stop()
