@@ -1,0 +1,111 @@
+"""Physical-plan shape regression tests — the 100 TB properties.
+
+Correctness gates prove the VALUES; these pin the PLANS: a refactor
+that silently introduces a cartesian product, drops a broadcast, or
+loses parquet filter pushdown still passes value checks at sf0.001
+while becoming unrunnable at scale. Each assertion here is a property
+argued in README "Scale design" / module docstrings.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from flame_spark.queries import QUERIES
+
+    return QUERIES
+
+
+def test_no_cartesian_or_nested_loop_anywhere_hot(spark, queries):
+    """The headline/dedup paths must never fall back to
+    CartesianProduct or BroadcastNestedLoopJoin — both are O(N^2)
+    row-pair materializations that die at scale. (The r1 embed-dedup
+    scale-killer was exactly a BroadcastNestedLoopJoin.)"""
+    for name in [
+        "t5_lno31_postings",
+        "j1_tfidf_cosine_pairs",
+        "dedup_minhash_lsh_pairs",
+        "dedup_jaccard3_pairs",
+        "dedup_embed_cosine_pairs",
+        "dedup_embed_lsh_pairs",
+        "j6_bm25_topk",
+    ]:
+        plan = _plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_t5_join_is_broadcast_under_cutoff(spark, queries):
+    """Below max_collect_vocab the token->id equi-join must resolve to
+    a BroadcastHashJoin (vocab side broadcast; the exploded token rows
+    are never shuffled on `tok`)."""
+    plan = _plan(queries["t5_lno31_postings"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_parquet_filter_pushdown_on_scan(spark):
+    """A filtered documents scan must push the predicate into the
+    parquet reader (PushedFilters), not post-filter a full scan."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,100)" in plan
+    # column pruning: the scan schema must not include `text`
+    assert "ReadSchema: struct<doc_id" in plan and "text" not in plan.split(
+        "ReadSchema"
+    )[1].split("\n")[0]
+
+
+def test_wand_query_join_broadcasts_query_terms(spark):
+    """WAND's qterms x segments join must broadcast the tiny query
+    side: a shuffle of the segment table per query batch would scale
+    with index size, not query size."""
+    from flame_spark.config import FlameConfig
+    from flame_spark.fastbuild import build_serving_index
+    from flame_spark.pipeline import query_terms_local, wand_bm25_topk
+    from flame_spark.queries import BM25_QUERIES, _docs
+
+    cfg = FlameConfig(
+        ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+        term_mode="lno", n_shards=4,
+    )
+    serving = build_serving_index(_docs(spark, SF), cfg)
+    segments = serving.segments.persist()
+    segments.count()
+    qs = [{"query_id": q, "query_text": t} for q, t in BM25_QUERIES[:2]]
+    plan = _plan(wand_bm25_topk(spark, qs, serving, segments, k=5))
+    segments.unpersist()
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+    # the big (cached) segment side must not be exchanged for the join
+    # itself. The plan string embeds the cache's stored build plan
+    # (REPARTITION_BY_NUM exchanges), so look only at planner-forced
+    # ENSURE_REQUIREMENTS exchanges: a lost broadcast would shuffle the
+    # segment side on `term`; the legitimate two are the per-
+    # (query, shard) scorer grouping and the global top-k window.
+    ensure = [
+        l for l in plan.splitlines() if "ENSURE_REQUIREMENTS" in l
+    ]
+    assert not any("hashpartitioning(term" in l for l in ensure), ensure
+    assert len(ensure) == 2, ensure
+
+
+def test_whole_stage_codegen_on_t5_hot_path(spark, queries):
+    """The LNO trigram hot path is all built-in expressions — it must
+    compile into whole-stage codegen (no Python evals interleaved)."""
+    df = queries["t5_lno31_postings"](spark, SF)
+    df.count()  # AQE finalizes (and codegen-annotates) only on execution
+    plan = _plan(df)
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
