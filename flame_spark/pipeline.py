@@ -135,8 +135,12 @@ def query_term_rows(queries: list[dict], index) -> list[tuple]:
         enc = art.lookup_ids(toks)
         ids = [enc[x] for x in toks if x in enc]
         if cfg.term_mode == "lno":
+            # the rolling-hash base must match the INDEX's: pinned
+            # hash_base when set (extend-capable warehouses), else the
+            # vocabulary size
+            base = art.hash_base or art.n_vocab or len(enc)
             terms = lno_gram_hashes(
-                np.array(ids, dtype=np.int64), art.n_vocab or len(enc),
+                np.array(ids, dtype=np.int64), base,
                 cfg.ngram, cfg.n_out
             ).tolist()
         else:
@@ -193,7 +197,10 @@ def query_terms_df(
     if cfg.term_mode == "lno":
         if art.encoder is not None:
             encoder_bc = sc.broadcast(art.encoder)
-            shingle = make_shingle_udf(encoder_bc, cfg.ngram, cfg.n_out)
+            shingle = make_shingle_udf(
+                encoder_bc, cfg.ngram, cfg.n_out,
+                base=art.hash_base or None,
+            )
             qdf = qdf.withColumn("terms", shingle(F.col("tokens")))
         else:
             # distributed-vocab mode: join-encode the query tokens, then
@@ -202,7 +209,9 @@ def query_terms_df(
 
             qdf = qdf.withColumnRenamed("query_id", "doc_id")
             qdf = encode_tokens_joined(qdf, art.encoder_df)
-            shingle_ids = make_shingle_from_ids_udf(art.n_vocab, cfg.ngram, cfg.n_out)
+            shingle_ids = make_shingle_from_ids_udf(
+                art.hash_base or art.n_vocab, cfg.ngram, cfg.n_out
+            )
             qdf = qdf.withColumn("terms", shingle_ids(F.col("token_ids")))
             qdf = qdf.withColumnRenamed("doc_id", "query_id")
     else:
