@@ -136,19 +136,62 @@ class IncrementalIndexer:
         """Full token->id table (tok, tid) across all ingests."""
         return self._read_table(spark, "vocab")
 
-    def _read_table(self, spark: SparkSession, kind: str):
-        """Whole-table read across every delta generation. Recursive
-        lookup, because generations are a mix of hive-style ingest=N
-        dirs and flat compact-<gen> rollups (compact_deltas) — the
-        implied ``ingest`` partition column was never consumed, so
-        recursion losing it changes nothing. Swap leftovers from a
-        crashed purge/compaction (``*.old`` / ``*.new`` dirs) would be
-        double-counted by the recursive listing, so recovery runs
-        first (idempotent, filesystem-only)."""
+    def _gen_dirs(self, kind: str, include_ingest: int | None = None):
+        """COMMITTED delta generations of a table, in sorted order:
+        ``ingest=k`` dirs with k < the state-committed ingest counter
+        (state.json is the ingest commit point — a crash mid-ingest
+        leaves dirs for the uncommitted generation, and reading them
+        would serve a torn delta: doclens without postings inflates
+        N/avgdl silently), plus ``compact-<g>`` rollups (their own
+        marker protocol guarantees completeness). ``include_ingest``
+        additionally admits that single not-yet-committed generation —
+        the in-flight ingest reading its own writes (extend-vocab)."""
+        base = os.path.join(self.root, kind)
+        if not os.path.isdir(base):
+            return []
+        try:
+            committed = int(self._load_state()["n_ingests"])
+        except FileNotFoundError:
+            committed = None  # pre-state warehouse: everything visible
+        out = []
+        for d in sorted(os.listdir(base)):
+            p = os.path.join(base, d)
+            if d.startswith("compact-") and not d.endswith((".new", ".old")):
+                out.append(p)
+            elif d.startswith("ingest="):
+                try:
+                    k = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if (
+                    committed is None
+                    or k < committed
+                    or (include_ingest is not None and k == include_ingest)
+                ):
+                    out.append(p)
+        return out
+
+    def _read_table(
+        self,
+        spark: SparkSession,
+        kind: str,
+        include_ingest: int | None = None,
+    ):
+        """Whole-table read across the COMMITTED delta generations (see
+        ``_gen_dirs``). Recursive lookup, because generations are a mix
+        of hive-style ingest=N dirs and flat compact-<gen> rollups
+        (compact_deltas) — the implied ``ingest`` partition column was
+        never consumed, so recursion losing it changes nothing. Swap
+        leftovers from a crashed purge/compaction would be double-
+        counted, so recovery runs first (idempotent, fs-only)."""
         self._recover_purge()
+        dirs = self._gen_dirs(kind, include_ingest)
+        if not dirs:
+            raise FileNotFoundError(
+                f"{kind}: no committed delta generations under {self.root}"
+            )
         return (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(os.path.join(self.root, kind))
+            spark.read.option("recursiveFileLookup", "true").parquet(*dirs)
         )
 
     def load_serving_artifacts(self, spark: SparkSession) -> CorpusArtifacts:
@@ -168,7 +211,7 @@ class IncrementalIndexer:
             art.n_vocab = int(state["n_vocab"])
         if "hash_base" in state:
             art.hash_base = int(state["hash_base"])
-        if art.hash_base is None:
+        if not art.hash_base:  # 0 = pre-pin default -> base is n_vocab
             art.hash_base = int(art.n_vocab)
         return art
 
@@ -249,7 +292,12 @@ class IncrementalIndexer:
         spark = new_raw.sparkSession
         state = self._load_state()
         artifacts = self.load_serving_artifacts(spark)
-        low = new_raw.agg(F.min("conv_id").alias("m")).collect()[0]["m"]
+        agg = new_raw.agg(
+            F.min("conv_id").alias("lo"),
+            F.max("conv_id").alias("hi"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        low = agg["lo"]
         if low is None:
             return state["n_ingests"] - 1  # empty batch
         if state["max_conv_id"] is not None and low <= state["max_conv_id"]:
@@ -275,15 +323,12 @@ class IncrementalIndexer:
             "overwrite"
         ).parquet(self._docmap_dir(ingest_no))
         self._write_ingest(docs, artifacts, ingest_no)
-        agg = new_raw.agg(
-            F.max("conv_id").alias("m"), F.count("*").alias("n")
-        ).collect()[0]
         state["next_doc_id"] = int(state["next_doc_id"]) + int(agg["n"])
         state["n_ingests"] = ingest_no + 1
         state["max_conv_id"] = (
-            agg["m"]
+            agg["hi"]
             if state["max_conv_id"] is None
-            else max(state["max_conv_id"], agg["m"])
+            else max(state["max_conv_id"], agg["hi"])
         )
         self._save_state(state)
         return ingest_no
@@ -335,7 +380,12 @@ class IncrementalIndexer:
         from dataclasses import replace
 
         spark = docs.sparkSession
-        offset = int(state["n_vocab"])
+        # the id offset comes from the AUTHORITATIVE vocabulary (the
+        # artifacts' encoder / vocab table), not from state.json alone:
+        # a crash between the artifacts write and the state commit
+        # leaves state["n_vocab"] stale, and minting from it would give
+        # two different tokens one id (silent retrieval corruption)
+        offset = max(int(state["n_vocab"]), self._vocab_ceiling(artifacts))
         new_vocab = add_doc_id(self._new_tokens_df(docs, artifacts), ["tok"])
         new_vocab = new_vocab.select(
             "tok", (F.col("doc_id") + F.lit(offset)).alias("tid")
@@ -343,18 +393,19 @@ class IncrementalIndexer:
         n_new = new_vocab.count()
         if n_new == 0:
             new_vocab.unpersist()
-            return artifacts
+            if offset != int(state["n_vocab"]):
+                state["n_vocab"] = offset  # repair a stale watermark
+            return replace(artifacts, n_vocab=offset)
         new_vocab.write.mode("overwrite").parquet(self._vocab_dir(ingest_no))
-        new_vocab.unpersist()
         state["n_vocab"] = offset + n_new
         if (
             artifacts.encoder is not None
             and state["n_vocab"] <= self.cfg.max_collect_vocab
         ):
             added = {
-                r["tok"]: int(r["tid"])
-                for r in spark.read.parquet(self._vocab_dir(ingest_no)).collect()
+                r["tok"]: int(r["tid"]) for r in new_vocab.collect()
             }
+            new_vocab.unpersist()
             ext = replace(
                 artifacts,
                 encoder={**artifacts.encoder, **added},
@@ -364,15 +415,30 @@ class IncrementalIndexer:
             # vocabulary outgrew the collect cap (or never was
             # collected): switch this warehouse to the joined-encoder
             # path permanently — null the JSON dict so every later
-            # reader goes through the parquet vocab table
+            # reader goes through the parquet vocab table (including
+            # THIS in-flight ingest's not-yet-committed generation)
+            new_vocab.unpersist()
             ext = replace(
                 artifacts,
                 encoder=None,
-                encoder_df=self._vocab_df(spark),
+                encoder_df=self._read_table(
+                    spark, "vocab", include_ingest=ingest_no
+                ),
                 n_vocab=state["n_vocab"],
             )
         save_artifacts(ext, self.artifacts_path)
         return ext
+
+    def _vocab_ceiling(self, artifacts: CorpusArtifacts) -> int:
+        """1 + the highest token id the artifacts actually contain."""
+        if artifacts.encoder is not None:
+            return (
+                1 + max(artifacts.encoder.values())
+                if artifacts.encoder
+                else 0
+            )
+        row = artifacts.encoder_df.agg(F.max("tid").alias("m")).collect()[0]
+        return int(row["m"]) + 1 if row["m"] is not None else 0
 
     def _write_ingest(
         self, docs: DataFrame, artifacts: CorpusArtifacts, ingest_no: int
@@ -424,7 +490,7 @@ class IncrementalIndexer:
                 "docmap/ingest=N from the original ingest batches"
             )
         ids_df = spark.createDataFrame(
-            [(c,) for c in conv_ids], "conv_id string"
+            [(c,) for c in sorted(set(conv_ids))], "conv_id string"
         )
         docmap = self._read_table(spark, "docmap")
         targets = docmap.join(F.broadcast(ids_df), "conv_id")
@@ -494,10 +560,7 @@ class IncrementalIndexer:
         log = self.warehouse.snapshot_log
         head = log.current_id()
         if head is not None:
-            postings_dl, _, _ = self.merged_inputs(spark)
-            from .lineage import snapshot_id as _snap_id
-
-            current = _snap_id(postings_dl, ["term", "doc_id", "tf"])
+            current = self.merge_snapshot_id(spark)
             if log.manifest(head)["summary"].get("input_snapshot") != current:
                 raise ValueError(
                     "purge_tombstones: the served snapshot predates the "
@@ -669,11 +732,10 @@ class IncrementalIndexer:
 
     # -- merge --------------------------------------------------------------
 
-    def merged_inputs(self, spark: SparkSession):
-        """-> (postings_dl, term_stats_df, stats) over ALL ingests,
-        minus tombstoned docs (anti-join; AQE broadcasts the tombstone
-        side while it is small). Stats are computed AFTER the filter,
-        so df/N/avgdl reflect only surviving docs."""
+    def _filtered_tables(self, spark: SparkSession):
+        """(postings_dl, doclens) over all committed ingests, minus
+        tombstoned docs (anti-join; AQE broadcasts the tombstone side
+        while it is small)."""
         postings_dl = self._read_table(spark, "postings")
         doclens = self._read_table(spark, "doclens")
         if os.path.isdir(self.tombstones_dir):
@@ -684,9 +746,31 @@ class IncrementalIndexer:
             )
             postings_dl = postings_dl.join(tomb, "doc_id", "left_anti")
             doclens = doclens.join(tomb, "doc_id", "left_anti")
+        return postings_dl, doclens
+
+    def merged_inputs(self, spark: SparkSession):
+        """-> (postings_dl, term_stats_df, stats). Stats are computed
+        AFTER the tombstone filter, so df/N/avgdl reflect only
+        surviving docs."""
+        postings_dl, doclens = self._filtered_tables(spark)
         stats = corpus_stats(doclens)
         stats_df = term_stats(postings_dl.select("term", "doc_id", "tf"))
         return postings_dl, stats_df, stats
+
+    def merge_snapshot_id(self, spark: SparkSession) -> str:
+        """Identity of the CURRENT merge input. Covers postings AND
+        doclens: stored scores depend on N/avgdl, which a zero-feature
+        doc (shorter than the ngram window, or fully-dropped OOV)
+        changes WITHOUT touching any posting row — a postings-only id
+        would declare such a merge idempotent and serve stale scores."""
+        from .lineage import snapshot_id
+
+        postings_dl, doclens = self._filtered_tables(spark)
+        return (
+            snapshot_id(postings_dl, ["term", "doc_id", "tf"])
+            + "-"
+            + snapshot_id(doclens, ["doc_id", "dl"])
+        )
 
     def merge_segments(self, spark: SparkSession) -> DataFrame:
         """Union all delta postings, re-score against the refreshed
@@ -694,7 +778,6 @@ class IncrementalIndexer:
         overwrite + lineage via SegmentWarehouse). Returns the merged
         segment table. Byte-identical to a from-scratch build on the
         union corpus (tested)."""
-        from .lineage import snapshot_id
         from .segments import postings_with_scores
 
         cfg = self.cfg
@@ -702,7 +785,7 @@ class IncrementalIndexer:
         scored = postings_with_scores(
             postings_dl, stats_df, stats, cfg.bm25_k1, cfg.bm25_b
         )
-        snap = snapshot_id(postings_dl, ["term", "doc_id", "tf"])
+        snap = self.merge_snapshot_id(spark)
         log = self.warehouse.snapshot_log
         head = log.current_id()
         if head is not None and (
@@ -740,6 +823,17 @@ def ingest_stream(
     )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once redelivery: a crash after ingest() committed
+        # state but before the streaming checkpoint recorded the batch
+        # re-delivers it on restart; the whole batch being at/below the
+        # watermark means it was already ingested — skip instead of
+        # tripping the append contract and wedging the stream forever
+        hi = batch_df.agg(F.max("conv_id").alias("m")).collect()[0]["m"]
+        if hi is None:
+            return
+        wm = indexer._load_state()["max_conv_id"]
+        if wm is not None and hi <= wm:
+            return
         if batch_df.isEmpty():
             return
         indexer.ingest(batch_df, on_oov=on_oov)

@@ -460,3 +460,123 @@ def test_compact_crash_recovery_both_directions(spark, tmp_path):
     assert not os.path.exists(marker)
     assert not any(d.endswith(".old") for d in os.listdir(base))
     assert _seg_map(idx.merge_segments(spark).collect()) == expected
+
+
+CFG0 = FlameConfig(
+    ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+    term_mode="lno", n_shards=5, block_size=4,
+)
+
+
+def test_zero_feature_ingest_changes_merge_snapshot(spark, tmp_path):
+    """A batch of docs SHORTER than the ngram window adds zero posting
+    rows but still changes N/avgdl — the merge must commit a NEW
+    snapshot with re-derived scores (a postings-only identity would
+    declare it idempotent and serve stale stats), and stay byte-equal
+    to a pinned rebuild over the union."""
+    base = transcripts_df(spark, 8, 6)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG0, hash_base=2**32)
+    idx.initial_build(base)
+    before = _seg_map(idx.merge_segments(spark).collect())
+    sid1 = idx.warehouse.snapshot_log.current_id()
+
+    shorties = spark.createDataFrame(
+        [(f"convz{i:04d}", 0, "user", "ok go", None, None)
+         for i in range(5)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    idx.ingest(shorties, on_oov="extend")
+    after = _seg_map(idx.merge_segments(spark).collect())
+    assert idx.warehouse.snapshot_log.current_id() != sid1
+    assert after != before  # N grew -> every idf/score re-derived
+
+    full = base.unionByName(shorties)
+    rebuilt_index = build_index(
+        add_doc_id(full, ["conv_id", "turn_idx"]).select("doc_id", "text"),
+        CFG0, artifacts=idx.load_serving_artifacts(spark),
+    )
+    assert after == _seg_map(build_segment_table(rebuilt_index).collect())
+
+
+def test_torn_ingest_generation_is_invisible(spark, tmp_path):
+    """Dirs of an ingest that never committed state (crash mid-ingest)
+    must not be read: a doclens-without-postings orphan would inflate
+    N/avgdl silently."""
+    import os
+
+    raw = transcripts_df(spark, 8, 6)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG0)
+    idx.initial_build(raw)
+    expected = _seg_map(idx.merge_segments(spark).collect())
+    sid = idx.warehouse.snapshot_log.current_id()
+
+    # fabricate the torn generation: doclens written, postings absent,
+    # state not advanced
+    orphan = os.path.join(idx.root, "doclens", "ingest=1")
+    spark.createDataFrame(
+        [(10_000 + i, 99) for i in range(50)], "doc_id long, dl long"
+    ).write.parquet(orphan)
+
+    again = _seg_map(idx.merge_segments(spark).collect())
+    assert again == expected
+    assert idx.warehouse.snapshot_log.current_id() == sid  # no-op commit
+
+
+def test_stream_replay_does_not_wedge(spark, tmp_path):
+    """Re-delivering already-ingested microbatches (at-least-once
+    restart with a lost checkpoint) must no-op, not trip the append
+    contract."""
+    raw = transcripts_df(spark, 8, 5)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG0)
+    idx.initial_build(raw.filter(F.col("conv_id") < "conv000004"))
+    stream_dir = tmp_path / "incoming"
+    raw.filter(F.col("conv_id") >= "conv000004").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(str(stream_dir))
+    ingest_stream(idx, spark, str(stream_dir), str(tmp_path / "ck1"),
+                  on_oov="drop")
+    n = idx._load_state()["n_ingests"]
+    # fresh checkpoint -> full redelivery of every file
+    ingest_stream(idx, spark, str(stream_dir), str(tmp_path / "ck2"),
+                  on_oov="drop")
+    assert idx._load_state()["n_ingests"] == n  # skipped, not wedged
+
+
+def test_extend_offset_survives_stale_state(spark, tmp_path):
+    """Crash window: artifacts.json committed with the extended vocab
+    but state.json still holds the old n_vocab. The next extend must
+    mint ids ABOVE the artifacts' ceiling (no two tokens share an id)
+    and the merge must still equal a pinned rebuild."""
+    import json as _json
+
+    full = transcripts_df(spark, 16, 6).persist()
+    a = full.filter(F.col("conv_id") < "conv000008")
+    b = full.filter(
+        (F.col("conv_id") >= "conv000008") & (F.col("conv_id") < "conv000012")
+    )
+    c = full.filter(F.col("conv_id") >= "conv000012")
+
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG0, hash_base=2**32)
+    idx.initial_build(a)
+    v0 = idx._load_state()["n_vocab"]
+    idx.ingest(b, on_oov="extend")
+    state = idx._load_state()
+    assert state["n_vocab"] > v0
+    # simulate the crash: roll ONLY the state watermark back
+    state["n_vocab"] = v0
+    with open(idx.state_path, "w") as f:
+        _json.dump(state, f)
+
+    idx.ingest(c, on_oov="extend")
+    assert idx._load_state()["n_vocab"] > v0
+    # vocabulary must be collision-free
+    vocab = idx._vocab_df(spark)
+    assert vocab.count() == vocab.select("tid").distinct().count()
+    merged = _seg_map(idx.merge_segments(spark).collect())
+    rebuilt_index = build_index(
+        add_doc_id(full, ["conv_id", "turn_idx"]).select("doc_id", "text"),
+        CFG0, artifacts=idx.load_serving_artifacts(spark),
+    )
+    assert merged == _seg_map(build_segment_table(rebuilt_index).collect())
+    full.unpersist()
