@@ -150,7 +150,7 @@ def cosine_topk_ivf(
         qv = np.asarray(r["vec"], dtype=np.float64)
         n = np.linalg.norm(qv)
         qn = qv / n if n > 0 else qv
-        top_c = np.argsort(-(centroids @ qn))[:n_probe]
+        top_c = np.argsort(-(centroids @ qn), kind="stable")[:n_probe]
         probes.extend((int(r["vec_id"]), r["vec"], int(c)) for c in top_c)
     spark = emb.sparkSession
     q = spark.createDataFrame(

@@ -72,8 +72,33 @@ class WarehouseServer:
         return tuple(entries)
 
     def refresh(self) -> bool:
-        """Sync with the warehouse; returns True if anything swapped."""
+        """Sync with the warehouse; returns True if anything swapped.
+
+        Ordering matters against a CONCURRENT merge: the tombstone
+        signature is read BEFORE HEAD. A merge commits the new snapshot
+        and then clears the tombstones; reading HEAD first could pair
+        the OLD snapshot with the post-merge EMPTY exclude set —
+        transiently resurrecting deleted docs. Tombstones-first can
+        only pair a stale (over-inclusive) exclude set with a newer
+        snapshot, which is harmless: excluding an already-removed doc
+        is a no-op."""
         changed = False
+        sig = self._tombstone_signature()
+        if sig != self._tomb_sig:
+            try:
+                self._exclude = (
+                    self.idx.deleted_doc_ids(self.spark) if sig else None
+                )
+            except Exception:
+                # concurrent delete_conversations append: footer-less
+                # in-flight part files fail the read — keep the previous
+                # exclude set (over-inclusion is safe) and re-list next
+                # query
+                sig = self._tomb_sig
+            if self._exclude is not None and self._exclude.size == 0:
+                self._exclude = None
+            self._tomb_sig = sig
+            changed = True
         head = self.idx.warehouse.snapshot_log.current_id()
         if head is None:
             raise RuntimeError(
@@ -90,15 +115,6 @@ class WarehouseServer:
                 artifacts=self.idx.load_serving_artifacts(self.spark),
             )
             self._snap_id = head
-            changed = True
-        sig = self._tombstone_signature()
-        if sig != self._tomb_sig:
-            self._exclude = (
-                self.idx.deleted_doc_ids(self.spark) if sig else None
-            )
-            if self._exclude is not None and self._exclude.size == 0:
-                self._exclude = None
-            self._tomb_sig = sig
             changed = True
         return changed
 

@@ -29,10 +29,17 @@ EVENT_SCHEMA = (
 
 
 def incremental_postings(spark: SparkSession, input_dir: str) -> DataFrame:
-    """readStream over a transcripts directory -> per-microbatch posting
-    deltas (term, conv_id, turn_idx, tf). Keyed by the stable turn key
-    (doc ids are assigned at merge time); complete-mode agg is avoided —
-    deltas are append-only and idempotent to merge."""
+    """readStream over a transcripts directory -> RUNNING posting
+    counts (term, conv_id, turn_idx, tf), keyed by the stable turn key
+    (doc ids are assigned at merge time).
+
+    Contract: this is a streaming AGGREGATION — each emission is the
+    key's cumulative tf, not a per-batch delta. A downstream merge must
+    UPSERT by (conv_id, turn_idx, term) (last value wins); appending
+    emissions as if they were increments would double-count any turn
+    the source re-delivers. (The per-batch-delta shape lives in
+    incremental.ingest_stream, which indexes each microbatch exactly
+    once through foreachBatch.)"""
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 4)

@@ -41,8 +41,15 @@ LATIN_STOPWORDS = [
 
 
 def norm_text_col(col):
-    """lowercase + whitespace-collapsed text (flame.py:396 + :433)."""
-    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    """lowercase + whitespace-collapsed text (flame.py:396 + :433).
+
+    The whitespace class is EXPLICIT because the two regex engines
+    disagree on shorthand: Java \s includes \x0B (vertical tab), RE2
+    (DuckDB) \s does not — a VT in a document would silently split
+    every norm-text contract (dedup hashes, fingerprints, s2 gate)."""
+    return F.lower(
+        F.regexp_replace(F.trim(col), "[ \t\n\x0b\f\r]+", " ")
+    )
 
 
 def word_tokens_col(col):
