@@ -121,4 +121,5 @@ def test_whole_stage_codegen_on_t5_hot_path(spark, queries):
     # VOCAB-sized distinct-token table (O(vocab), not O(corpus) — the
     # token-row hot path itself stays JVM-side)
     assert "BatchEvalPython" not in plan
-    assert plan.count("MapInPandas") <= 1 and "stamp" in plan
+    mip = [l for l in plan.splitlines() if "MapInPandas" in l]
+    assert mip and all("stamp" in l for l in mip), mip
