@@ -317,6 +317,32 @@ def wand_bm25_serve(
     return out
 
 
+def wand_bm25_serve_batch(
+    queries: list[dict],
+    index,
+    segments_sharded: DataFrame,
+    k: int = 10,
+    exclude_docs=None,
+) -> list[tuple]:
+    """Throughput serving: ALL queries scored in ONE Spark job over the
+    shard-partitioned segment cache (wand.wand_topk_serve_batch — the
+    union of query terms is one scan filter, each matching posting list
+    is decoded once and shared across queries). Result-identical to
+    ``wand_bm25_serve`` (tested); use that path for single-query
+    latency, this one when queries arrive faster than the per-job
+    scheduling rate."""
+    from .wand import wand_topk_serve_batch
+
+    rows = query_term_rows(queries, index)
+    per_q: dict[str, list[tuple]] = {}
+    for qid, t, c in rows:
+        per_q.setdefault(qid, []).append((t, c))
+    qlist = [(q["query_id"], per_q.get(q["query_id"], [])) for q in queries]
+    return wand_topk_serve_batch(
+        qlist, segments_sharded, k, index.cfg.block_size, exclude_docs
+    )
+
+
 def pairwise_similarity(index: FlameIndex) -> DataFrame:
     """FLAME dist_mat parity: (doc_i, doc_j, score), i<j, nonzero.
 

@@ -56,6 +56,18 @@ def wand_topk_per_shard(
     )
 
 
+def _decode_posting_row(row, block_size: int):
+    """One segment row -> (docs, scores, block_first_docs, block_max),
+    the kernel's per-term working arrays. Split out so the batch
+    serving path decodes each (shard, term) ONCE and reuses it across
+    every query in the batch."""
+    deltas = varbyte_decode(bytes(row["doc_deltas"])).astype(np.int64)
+    docs = np.cumsum(deltas)
+    scores = np.frombuffer(bytes(row["scores"]), dtype=np.float64)
+    bm = np.asarray(row["block_max"], dtype=np.float64)
+    return docs, scores, docs[::block_size], bm
+
+
 def _wand_shard_kernel(
     pdf: pd.DataFrame, k: int, block_size: int,
     exclude: np.ndarray | None = None,
@@ -70,25 +82,34 @@ def _wand_shard_kernel(
     from the candidate set before any bound or theta is computed, so
     the result is exactly the top-k over surviving docs under the
     STORED scores (re-scoring for the shrunken df/N happens at merge,
-    which also folds the tombstones in and empties the exclude set)."""
+    which also records the tombstones it folded so the serve-time
+    exclude set shrinks to post-merge deletes)."""
     # decode every term's postings for this shard; iterate terms in
     # ascending order — the global deterministic fold order
     pdf = pdf.sort_values("term")
-    term_docs: list[np.ndarray] = []
-    term_scores: list[np.ndarray] = []
-    term_qtf: list[float] = []
-    term_bfirst: list[np.ndarray] = []  # first doc of each block
-    term_bmax: list[np.ndarray] = []
+    entries = []
+    qtfs = []
     for _, row in pdf.iterrows():
-        deltas = varbyte_decode(bytes(row["doc_deltas"])).astype(np.int64)
-        docs = np.cumsum(deltas)
-        scores = np.frombuffer(bytes(row["scores"]), dtype=np.float64)
-        term_docs.append(docs)
-        term_scores.append(scores)
-        term_qtf.append(float(row["qtf"]))
-        term_bfirst.append(docs[::block_size])
-        bm = np.asarray(row["block_max"], dtype=np.float64)
-        term_bmax.append(bm)
+        entries.append(_decode_posting_row(row, block_size))
+        qtfs.append(float(row["qtf"]))
+    return _wand_core(entries, qtfs, k, exclude)
+
+
+def _wand_core(
+    entries: list[tuple],
+    qtfs: list[float],
+    k: int,
+    exclude: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The block-max WAND math over pre-decoded per-term arrays.
+    ``entries``: [(docs, scores, block_first_docs, block_max), ...] in
+    ASCENDING term order (the deterministic fold order); ``qtfs``: the
+    matching query term frequencies."""
+    term_docs = [e[0] for e in entries]
+    term_scores = [e[1] for e in entries]
+    term_qtf = qtfs
+    term_bfirst = [e[2] for e in entries]  # first doc of each block
+    term_bmax = [e[3] for e in entries]
 
     # candidate docs = union of posting docs in this shard
     all_docs = np.unique(np.concatenate(term_docs))
@@ -244,6 +265,102 @@ def wand_topk_serve(
     return [
         (rank + 1, int(doc[i]), float(sc[i])) for rank, i in enumerate(idx)
     ]
+
+
+def wand_topk_serve_batch(
+    queries_terms: list[tuple],
+    segments_sharded: DataFrame,
+    k: int,
+    block_size: int,
+    exclude_docs=None,
+) -> list[tuple]:
+    """Batched serving top-k: N queries in ONE Spark job.
+
+    ``wand_topk_serve`` pays one job-scheduling round-trip per query —
+    fine for single-query latency, but it caps serving THROUGHPUT at
+    the scheduler rate. This path makes one pass over the term-sorted
+    segment cache scoring every query: the scan filter is the UNION of
+    all queries' terms (batch min/max stats still prune to the touched
+    batches), each (shard, term) posting list is decoded ONCE and
+    reused across all queries that contain the term, and the per-query
+    WAND core runs on the pre-decoded arrays. Results are IDENTICAL to
+    per-query ``wand_topk_serve`` — same kernel math, same ascending-
+    term fold, same (score desc, doc_id asc) tie-break (tested).
+
+    queries_terms: [(query_id, [(term, qtf), ...]), ...].
+    Returns [(query_id, rank, doc_id, score), ...] in input query
+    order."""
+    excl = None
+    if exclude_docs is not None:
+        arr = (
+            exclude_docs
+            if isinstance(exclude_docs, np.ndarray)
+            else np.asarray(list(exclude_docs), dtype=np.int64)
+        )
+        excl = np.unique(arr.astype(np.int64, copy=False))
+        if excl.size == 0:
+            excl = None
+
+    # per-query term lists in ascending-term order (the fold order);
+    # queries with no in-vocabulary terms return no rows, as in the
+    # per-query path
+    qmap = [
+        (qid, sorted((t, float(q)) for t, q in rows))
+        for qid, rows in queries_terms
+        if rows
+    ]
+    if not qmap:
+        return []
+    all_terms = sorted({t for _, rows in qmap for t, _ in rows})
+    seg = segments_sharded.where(F.col("term").isin(all_terms)).select(
+        "shard", "term", "doc_deltas", "scores", "block_max"
+    )
+
+    def score_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        outs = []
+        for _, grp in pdf.groupby("shard", sort=False):
+            decoded = {
+                row["term"]: _decode_posting_row(row, block_size)
+                for _, row in grp.iterrows()
+            }
+            for qid, rows in qmap:
+                entries = [decoded[t] for t, _ in rows if t in decoded]
+                if not entries:
+                    continue
+                qtfs = [q for t, q in rows if t in decoded]
+                docs, scores = _wand_core(entries, qtfs, k, excl)
+                if docs.size:
+                    outs.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "doc_id": docs, "score": scores}
+                        )
+                    )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    rows = seg.mapInPandas(
+        score_partition, schema="query_id string, doc_id long, score double"
+    ).collect()
+    by_q: dict[str, list[tuple]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    out: list[tuple] = []
+    for qid, _ in qmap:
+        hits = by_q.get(qid)
+        if not hits:
+            continue
+        doc = np.array([d for d, _ in hits], dtype=np.int64)
+        sc = np.array([s for _, s in hits], dtype=np.float64)
+        idx = np.lexsort((doc, -sc))[:k]  # score desc, doc_id asc
+        out.extend(
+            (qid, rank + 1, int(doc[i]), float(sc[i]))
+            for rank, i in enumerate(idx)
+        )
+    return out
 
 
 def wand_topk(

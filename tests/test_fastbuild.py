@@ -81,4 +81,11 @@ def test_fast_wand_equals_exhaustive(spark):
         for r in wand_topk(qterms, serving.segments, 8, CFG.block_size).collect()
     ]
     assert sorted(served) == sorted(dist)
+
+    # batch serving path (one job for all queries): tuple-identical to
+    # the per-query serve path, including scores and tie-breaks
+    from flame_spark.pipeline import wand_bm25_serve_batch
+
+    batch = wand_bm25_serve_batch(queries, serving, sharded, k=8)
+    assert batch == served
     raw.unpersist()

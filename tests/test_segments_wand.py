@@ -172,4 +172,13 @@ def test_wand_exclude_docs_live_delete_semantics(spark, built):
     assert {
         (qid, rank): (doc, score) for qid, rank, doc, score in served
     } == want
+
+    # batch serving path: one job for the whole query set, exclusions
+    # applied per query — tuple-identical to the per-query path
+    from flame_spark.pipeline import wand_bm25_serve_batch
+
+    batch = wand_bm25_serve_batch(
+        queries, index, sharded, k=10, exclude_docs=excluded
+    )
+    assert batch == served
     sharded.unpersist()
