@@ -17,7 +17,10 @@ partitioning and iteration order.
 
 Convergence is detected by (count, order-independent checksum) of the
 canonical edge set — two tiny aggregates per round, no set-difference
-shuffle. Non-convergence within ``max_rounds`` RAISES rather than
+shuffle; the candidate-final round is then CONFIRMED exactly with one
+``exceptAll`` (a checksum collision can therefore only delay declaring
+convergence, never fake it). Non-convergence within ``max_rounds``
+RAISES rather than
 returning partially-propagated (wrong) labels. Each round materializes
 via localCheckpoint to cut the growing lineage (a real run at 10^9
 edges would persist to the warehouse instead).
@@ -80,9 +83,17 @@ def _star_rounds(edges_lo_hi: DataFrame, max_rounds: int) -> tuple[DataFrame, in
         )
         new_e = ss.localCheckpoint()
         new_sig = _edge_sig(new_e)
-        e = new_e
         if new_sig == sig:
-            return e, rnd
+            # the signature is the cheap fast path; CONFIRM exactly on
+            # this candidate-final round only. A (count, hash-sum)
+            # collision declaring convergence one round early is
+            # astronomically unlikely, but exactness costs one
+            # exceptAll on the last round, so buy it. Both sets are
+            # distinct() and the signature already matched their
+            # counts, so one empty difference proves equality.
+            if new_e.exceptAll(e).isEmpty():
+                return new_e, rnd
+        e = new_e
         sig = new_sig
     raise RuntimeError(
         f"connected_components(star) did not converge in {max_rounds} rounds"

@@ -611,20 +611,50 @@ class IncrementalIndexer:
         ``purge_tombstones``, applied per generation dir: the combined
         table lands in ``compact-<gen>.new`` first, old generation dirs
         move aside and are removed only after the new dir is in place.
-        Returns the number of generation dirs removed."""
+        Returns the number of generation dirs removed.
+
+        Concurrency: a MAINTENANCE op, like purge. Segment serving is
+        unaffected (it reads snapshot manifests, never delta dirs), and
+        collected-vocab warehouses reload artifacts from artifacts.json
+        alone, so a live WarehouseServer keeps answering correctly
+        through a compaction (soak-tested). Other DELTA-table readers
+        and writers (merge, ingest, unbounded-vocab artifact reloads)
+        must be serialized with it — the swap protocol is crash-safe,
+        not reader-atomic."""
         import shutil
 
         self._recover_purge()
         removed = 0
+        # COMMITTED generations only — the same visibility rule as
+        # _gen_dirs. A crash mid-ingest leaves ingest=k dirs for the
+        # uncommitted generation k >= n_ingests; folding them into an
+        # always-visible compact-<g> rollup would make the torn delta
+        # permanently visible, and because the crashed ingest never
+        # advanced next_doc_id the retried ingest reuses those doc ids
+        # — the orphaned rows would then double-count (inflated
+        # N/avgdl, corrupt merges). Leave them on disk for the retry's
+        # mode("overwrite") to replace.
+        try:
+            committed = int(self._load_state()["n_ingests"])
+        except FileNotFoundError:
+            committed = None  # pre-state warehouse: everything visible
         for kind in ("postings", "doclens", "docmap", "vocab"):
             base = os.path.join(self.root, kind)
             if not os.path.isdir(base):
                 continue
-            gens = sorted(
-                d
-                for d in os.listdir(base)
-                if d.startswith("ingest=") or d.startswith("compact-")
-            )
+            gens = []
+            for d in sorted(os.listdir(base)):
+                if d.startswith("compact-") and not d.endswith(
+                    (".new", ".old")
+                ):
+                    gens.append(d)
+                elif d.startswith("ingest="):
+                    try:
+                        k = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if committed is None or k < committed:
+                        gens.append(d)
             if len(gens) <= 1:
                 continue
             gen_no = 1 + max(
@@ -710,54 +740,107 @@ class IncrementalIndexer:
                 elif d.endswith(".new"):
                     shutil.rmtree(p)
 
-    def deleted_doc_ids(self, spark: SparkSession):
+    def _tombstone_files(self) -> list[str]:
+        """Sorted basenames of the tombstone table's data files. Each
+        ``delete_conversations`` appends new uniquely-named part files,
+        so a file list identifies a tombstone *prefix*: a merge pins
+        the listing once, reads exactly those files everywhere, and
+        records them as ``folded_tombstones`` in the snapshot summary
+        — files appended after the pin are conservatively unfolded
+        (serve-time excluded) until the next merge."""
+        d = self.tombstones_dir
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f
+            for f in os.listdir(d)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    def _tombstone_df(self, spark: SparkSession, files: list[str]):
+        """Distinct tombstoned doc_ids from exactly ``files`` (or None
+        when the list is empty)."""
+        if not files:
+            return None
+        paths = [os.path.join(self.tombstones_dir, f) for f in files]
+        return spark.read.parquet(*paths).select("doc_id").distinct()
+
+    def deleted_doc_ids(
+        self, spark: SparkSession, folded: list[str] | None = None
+    ):
         """Sorted int64 array of tombstoned doc ids — the live-docs
         exclude set for serve-time suppression (pass to
         pipeline.wand_bm25_serve / wand_bm25_topk as ``exclude_docs``
         so deletes take effect IMMEDIATELY, before the next merge).
-        Driver-sized by design: only deletes since the last merge need
-        excluding at serve time, and a merge folds them in — on the
-        rare backlog, merge."""
+
+        ``folded``: tombstone file basenames already folded into the
+        snapshot being served (its summary's ``folded_tombstones``) —
+        those files' deletes are absent from the segments themselves
+        and need no serve-time exclusion. With ``folded`` from the
+        served snapshot the array holds only deletes SINCE that merge,
+        so its size is bounded by the delete rate between merges, not
+        the warehouse's delete history; ``WarehouseServer`` additionally
+        enforces a hard cap (``tombstone_limit``). Physical clearing of
+        the tombstone table itself is ``purge_tombstones``' job."""
         import numpy as np
 
-        if not os.path.isdir(self.tombstones_dir):
+        files = self._tombstone_files()
+        if folded:
+            drop = set(folded)
+            files = [f for f in files if f not in drop]
+        tomb = self._tombstone_df(spark, files)
+        if tomb is None:
             return np.array([], dtype=np.int64)
-        rows = (
-            spark.read.parquet(self.tombstones_dir)
-            .select("doc_id")
-            .distinct()
-            .collect()
-        )
+        rows = tomb.collect()
         return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+
+    def serve_exclude_ids(self, spark: SparkSession, snap_id: str | None = None):
+        """Exclude set for serving snapshot ``snap_id`` (default HEAD):
+        tombstones NOT folded into that snapshot's merge."""
+        log = self.warehouse.snapshot_log
+        sid = snap_id or log.current_id()
+        folded = (
+            log.manifest(sid)["summary"].get("folded_tombstones", [])
+            if sid is not None
+            else []
+        )
+        return self.deleted_doc_ids(spark, folded=folded)
 
     # -- merge --------------------------------------------------------------
 
-    def _filtered_tables(self, spark: SparkSession):
+    def _filtered_tables(
+        self, spark: SparkSession, tomb_files: list[str] | None = None
+    ):
         """(postings_dl, doclens) over all committed ingests, minus
         tombstoned docs (anti-join; AQE broadcasts the tombstone side
-        while it is small)."""
+        while it is small). ``tomb_files`` pins the tombstone file
+        listing so every read within one merge sees the SAME delete
+        set — a concurrent delete appending mid-merge must not make
+        the snapshot id disagree with the content it labels."""
+        if tomb_files is None:
+            tomb_files = self._tombstone_files()
         postings_dl = self._read_table(spark, "postings")
         doclens = self._read_table(spark, "doclens")
-        if os.path.isdir(self.tombstones_dir):
-            tomb = (
-                spark.read.parquet(self.tombstones_dir)
-                .select("doc_id")
-                .distinct()
-            )
+        tomb = self._tombstone_df(spark, tomb_files)
+        if tomb is not None:
             postings_dl = postings_dl.join(tomb, "doc_id", "left_anti")
             doclens = doclens.join(tomb, "doc_id", "left_anti")
         return postings_dl, doclens
 
-    def merged_inputs(self, spark: SparkSession):
+    def merged_inputs(
+        self, spark: SparkSession, tomb_files: list[str] | None = None
+    ):
         """-> (postings_dl, term_stats_df, stats). Stats are computed
         AFTER the tombstone filter, so df/N/avgdl reflect only
         surviving docs."""
-        postings_dl, doclens = self._filtered_tables(spark)
+        postings_dl, doclens = self._filtered_tables(spark, tomb_files)
         stats = corpus_stats(doclens)
         stats_df = term_stats(postings_dl.select("term", "doc_id", "tf"))
         return postings_dl, stats_df, stats
 
-    def merge_snapshot_id(self, spark: SparkSession) -> str:
+    def merge_snapshot_id(
+        self, spark: SparkSession, tomb_files: list[str] | None = None
+    ) -> str:
         """Identity of the CURRENT merge input. Covers postings AND
         doclens: stored scores depend on N/avgdl, which a zero-feature
         doc (shorter than the ngram window, or fully-dropped OOV)
@@ -765,7 +848,7 @@ class IncrementalIndexer:
         would declare such a merge idempotent and serve stale scores."""
         from .lineage import snapshot_id
 
-        postings_dl, doclens = self._filtered_tables(spark)
+        postings_dl, doclens = self._filtered_tables(spark, tomb_files)
         return (
             snapshot_id(postings_dl, ["term", "doc_id", "tf"])
             + "-"
@@ -777,29 +860,59 @@ class IncrementalIndexer:
         global stats, re-encode every shard (idempotent per-shard
         overwrite + lineage via SegmentWarehouse). Returns the merged
         segment table. Byte-identical to a from-scratch build on the
-        union corpus (tested)."""
+        union corpus (tested).
+
+        Concurrency: the commit carries ``expected_parent`` = the HEAD
+        observed when this merge pinned its inputs, so two racing
+        merges (or a merge racing the admin CLI's rollback) cannot
+        interleave the idempotency check and the commit — the loser
+        gets ``CommitConflict``, re-reads HEAD, re-checks idempotency
+        against the winner's snapshot, and retries on fresh inputs
+        (Iceberg's optimistic loop). The snapshot summary records
+        ``folded_tombstones`` — the tombstone files whose deletes this
+        merge rebuilt without — so serving computes its exclude set
+        from post-merge deletes only (``serve_exclude_ids``)."""
+        from .lineage import CommitConflict
         from .segments import postings_with_scores
 
         cfg = self.cfg
-        postings_dl, stats_df, stats = self.merged_inputs(spark)
-        scored = postings_with_scores(
-            postings_dl, stats_df, stats, cfg.bm25_k1, cfg.bm25_b
-        )
-        snap = self.merge_snapshot_id(spark)
         log = self.warehouse.snapshot_log
-        head = log.current_id()
-        if head is not None and (
-            log.manifest(head)["summary"].get("input_snapshot") == snap
-        ):
-            # idempotent re-merge: the current snapshot was built from
-            # this exact postings state — serve it, commit nothing
-            return self.warehouse.read_snapshot(spark, head)
-        self.warehouse.build_snapshot(
-            scored, stats.n_docs, cfg.n_shards, cfg.block_size, snap,
-            operation="merge",
-            summary={"n_docs": stats.n_docs, "n_ingests": self._load_state()["n_ingests"]},
+        for _attempt in range(5):
+            tomb_files = self._tombstone_files()
+            postings_dl, stats_df, stats = self.merged_inputs(
+                spark, tomb_files
+            )
+            scored = postings_with_scores(
+                postings_dl, stats_df, stats, cfg.bm25_k1, cfg.bm25_b
+            )
+            snap = self.merge_snapshot_id(spark, tomb_files)
+            head = log.current_id()
+            if head is not None and (
+                log.manifest(head)["summary"].get("input_snapshot") == snap
+            ):
+                # idempotent re-merge: the current snapshot was built
+                # from this exact postings state — serve it, commit
+                # nothing
+                return self.warehouse.read_snapshot(spark, head)
+            try:
+                self.warehouse.build_snapshot(
+                    scored, stats.n_docs, cfg.n_shards, cfg.block_size,
+                    snap,
+                    operation="merge",
+                    summary={
+                        "n_docs": stats.n_docs,
+                        "n_ingests": self._load_state()["n_ingests"],
+                        "folded_tombstones": tomb_files,
+                    },
+                    expected_parent=head,
+                )
+            except CommitConflict:
+                continue  # HEAD moved: re-read, re-check, rebuild
+            return self.warehouse.read_snapshot(spark)
+        raise RuntimeError(
+            "merge_segments: persistent CommitConflict after 5 attempts "
+            "— another writer is committing continuously"
         )
-        return self.warehouse.read_snapshot(spark)
 
 
 def ingest_stream(
@@ -825,15 +938,16 @@ def ingest_stream(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         # at-least-once redelivery: a crash after ingest() committed
         # state but before the streaming checkpoint recorded the batch
-        # re-delivers it on restart; the whole batch being at/below the
-        # watermark means it was already ingested — skip instead of
-        # tripping the append contract and wedging the stream forever
-        hi = batch_df.agg(F.max("conv_id").alias("m")).collect()[0]["m"]
-        if hi is None:
-            return
+        # re-delivers those rows on restart. Filtering to rows ABOVE
+        # the ingest watermark (rather than skipping all-or-nothing)
+        # also survives a checkpoint loss that batches already-ingested
+        # files together with genuinely new ones — the stale rows are
+        # dropped, the new rows ingest, and the append contract never
+        # trips (an unfiltered mixed batch would raise and wedge the
+        # stream permanently)
         wm = indexer._load_state()["max_conv_id"]
-        if wm is not None and hi <= wm:
-            return
+        if wm is not None:
+            batch_df = batch_df.filter(F.col("conv_id") > F.lit(wm))
         if batch_df.isEmpty():
             return
         indexer.ingest(batch_df, on_oov=on_oov)

@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .segments import SEGMENT_SCHEMA
 
+#: "caller did not specify expected_parent" sentinel — distinct from
+#: None, which is a real expectation (an empty log).
+_UNSET = object()
+
 
 class SegmentWarehouse:
     def __init__(self, root: str):
@@ -207,6 +211,7 @@ class SegmentWarehouse:
         fail_after_shards: int | None = None,
         operation: str = "overwrite",
         summary: dict | None = None,
+        expected_parent=_UNSET,
     ) -> str:
         """Checkpointed shard build into an IMMUTABLE per-snapshot data
         dir, then ONE atomic snapshot commit. Until the commit, readers
@@ -238,8 +243,11 @@ class SegmentWarehouse:
         s = dict(summary or {})
         s.setdefault("input_snapshot", input_snapshot)
         s.setdefault("n_shards", n_shards)
+        kwargs = {}
+        if expected_parent is not _UNSET:
+            kwargs["expected_parent"] = expected_parent
         return self.snapshot_log.commit(
-            files, base=data_root, operation=operation, summary=s
+            files, base=data_root, operation=operation, summary=s, **kwargs
         )
 
     def read_snapshot(

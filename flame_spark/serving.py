@@ -16,7 +16,21 @@ serving + pipeline.wand_bm25_serve) with snapshot/tombstone tracking:
 - the tombstone table is watched by file-listing signature: a delete
   becomes visible at the NEXT query as a serve-time exclude set
   (live-docs semantics, wand._wand_shard_kernel) without waiting for
-  the merge; the merge (or purge) empties it again.
+  the merge. The exclude set is SNAPSHOT-RELATIVE: a merge records the
+  tombstone files it folded in (``folded_tombstones`` in the snapshot
+  summary), so serving a post-merge snapshot excludes only deletes
+  SINCE that merge — the set is bounded by the delete rate between
+  merges, never the warehouse's whole delete history. (The tombstone
+  *table* itself persists until ``purge_tombstones`` physically
+  erases the rows; merge must not clear it, or a later re-merge over
+  the delta dirs would resurrect the deleted docs.)
+- ``tombstone_limit`` hard-caps the exclude set: every query ships it
+  to the scorers and ``np.isin``-scans it per shard, so an unmerged
+  bulk forget-batch of millions of ids would tax every query. Past
+  the cap the server either refuses (``on_backlog="error"``, default
+  — the operator must merge) or runs the merge itself
+  (``on_backlog="merge"``), after which the exclude set collapses to
+  the deletes that raced the merge.
 
 Scale: the per-query overhead is one stat of HEAD plus one listdir of
 the tombstone table — no Spark job unless something changed. The
@@ -34,8 +48,14 @@ import numpy as np
 from pyspark.sql import SparkSession
 
 from .incremental import IncrementalIndexer
-from .pipeline import wand_bm25_serve
+from .pipeline import wand_bm25_serve, wand_bm25_serve_batch
 from .wand import segments_for_serving
+
+
+class TombstoneBacklogError(RuntimeError):
+    """Unmerged tombstones exceed the server's ``tombstone_limit`` —
+    run ``merge_segments`` (or construct the server with
+    ``on_backlog="merge"``) to fold them into the segments."""
 
 
 class WarehouseServer:
@@ -44,12 +64,20 @@ class WarehouseServer:
         indexer: IncrementalIndexer,
         spark: SparkSession,
         n_parts: int | None = None,
+        tombstone_limit: int | None = 1_000_000,
+        on_backlog: str = "error",
     ):
+        if on_backlog not in ("error", "merge"):
+            raise ValueError(
+                f"on_backlog must be 'error' or 'merge', got {on_backlog!r}"
+            )
         self.idx = indexer
         self.spark = spark
         self.n_parts = n_parts or max(
             8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2
         )
+        self.tombstone_limit = tombstone_limit
+        self.on_backlog = on_backlog
         self._snap_id: str | None = None
         self._segments = None
         self._index = None
@@ -71,34 +99,25 @@ class WarehouseServer:
                 pass  # concurrent writer; next query re-lists
         return tuple(entries)
 
-    def refresh(self) -> bool:
+    def refresh(self, _retried: bool = False) -> bool:
         """Sync with the warehouse; returns True if anything swapped.
 
-        Ordering matters against a CONCURRENT merge: the tombstone
-        signature is read BEFORE HEAD. A merge commits the new snapshot
-        and then clears the tombstones; reading HEAD first could pair
-        the OLD snapshot with the post-merge EMPTY exclude set —
-        transiently resurrecting deleted docs. Tombstones-first can
-        only pair a stale (over-inclusive) exclude set with a newer
-        snapshot, which is harmless: excluding an already-removed doc
-        is a no-op."""
+        The exclude set is computed AGAINST the snapshot being served:
+        tombstone files listed in that snapshot's ``folded_tombstones``
+        summary are already rebuilt out of its segments and need no
+        exclusion, so only post-merge deletes ship to the scorers.
+
+        Ordering against a CONCURRENT merge: the tombstone signature is
+        read BEFORE HEAD. A merge pins its tombstone listing, commits,
+        and records that listing as folded; reading tombstones first
+        means the exclude computation can only see a listing at-or-
+        before the one the committed HEAD folded — the subtraction then
+        leaves the post-merge deletes (correct) or a stale over-
+        inclusive superset (harmless: excluding an already-removed doc
+        is a no-op). Reading HEAD first could pair an OLD snapshot with
+        a folded list from a NEWER merge, under-excluding."""
         changed = False
         sig = self._tombstone_signature()
-        if sig != self._tomb_sig:
-            try:
-                self._exclude = (
-                    self.idx.deleted_doc_ids(self.spark) if sig else None
-                )
-            except Exception:
-                # concurrent delete_conversations append: footer-less
-                # in-flight part files fail the read — keep the previous
-                # exclude set (over-inclusion is safe) and re-list next
-                # query
-                sig = self._tomb_sig
-            if self._exclude is not None and self._exclude.size == 0:
-                self._exclude = None
-            self._tomb_sig = sig
-            changed = True
         head = self.idx.warehouse.snapshot_log.current_id()
         if head is None:
             raise RuntimeError(
@@ -114,7 +133,49 @@ class WarehouseServer:
                 cfg=self.idx.cfg,
                 artifacts=self.idx.load_serving_artifacts(self.spark),
             )
+            snap_swapped = True
             self._snap_id = head
+            changed = True
+        else:
+            snap_swapped = False
+        if sig != self._tomb_sig or snap_swapped:
+            try:
+                excl = (
+                    self.idx.serve_exclude_ids(self.spark, head)
+                    if sig
+                    else None
+                )
+            except Exception:
+                # concurrent delete_conversations append: footer-less
+                # in-flight part files fail the read — keep the previous
+                # exclude set (over-inclusion is safe) and re-list next
+                # query
+                sig = self._tomb_sig
+            else:
+                if excl is not None and excl.size == 0:
+                    excl = None
+                if (
+                    excl is not None
+                    and self.tombstone_limit is not None
+                    and excl.size > self.tombstone_limit
+                ):
+                    if self.on_backlog == "merge" and not _retried:
+                        # fold the backlog into a fresh snapshot, then
+                        # re-resolve; _retried caps this at one merge —
+                        # tombstones for zero-feature docs never change
+                        # segment content, so an idempotent no-op merge
+                        # cannot fold them and retrying forever would
+                        # livelock
+                        self.idx.merge_segments(self.spark)
+                        return self.refresh(_retried=True)
+                    raise TombstoneBacklogError(
+                        f"{excl.size} unmerged tombstoned docs exceed "
+                        f"tombstone_limit={self.tombstone_limit}; run "
+                        "merge_segments (and purge_tombstones on your "
+                        "compliance schedule) to fold them in"
+                    )
+                self._exclude = excl
+            self._tomb_sig = sig
             changed = True
         return changed
 
@@ -126,9 +187,20 @@ class WarehouseServer:
 
     def query(self, queries: list[dict], k: int = 10) -> list[tuple]:
         """[(query_id, rank, doc_id, score), ...] over the CURRENT
-        committed snapshot, minus tombstoned docs."""
+        committed snapshot, minus tombstoned docs. One Spark job per
+        query (the latency path); for throughput use ``query_batch``."""
         self.refresh()
         return wand_bm25_serve(
+            queries, self._index, self._segments, k=k,
+            exclude_docs=self._exclude,
+        )
+
+    def query_batch(self, queries: list[dict], k: int = 10) -> list[tuple]:
+        """As ``query`` but ALL queries run in ONE Spark job over the
+        segment cache (result-identical, tested) — the throughput path
+        when queries arrive faster than the job-scheduling rate."""
+        self.refresh()
+        return wand_bm25_serve_batch(
             queries, self._index, self._segments, k=k,
             exclude_docs=self._exclude,
         )

@@ -41,7 +41,7 @@ LATIN_STOPWORDS = [
 
 
 def norm_text_col(col):
-    """lowercase + whitespace-collapsed text (flame.py:396 + :433).
+    r"""lowercase + whitespace-collapsed text (flame.py:396 + :433).
 
     The whitespace class is EXPLICIT because the two regex engines
     disagree on shorthand: Java \s includes \x0B (vertical tab), RE2

@@ -41,6 +41,9 @@ def test_server_follows_merges_and_deletes(spark, tmp_path):
     docs2 = {d for _, _, d, _ in r2}
     assert docs2 > docs1  # formulaic query matches new convs too
 
+    # batch path: identical tuples through the server facade
+    assert srv.query_batch(Q, k=20) == r2
+
     # delete the current top conversation: visible at the NEXT query,
     # before any merge
     import os
@@ -66,5 +69,123 @@ def test_server_follows_merges_and_deletes(spark, tmp_path):
     idx.purge_tombstones(spark)
     r5 = srv.query(Q, k=20)
     assert {d for _, _, d, _ in r5} == {d for _, _, d, _ in r4}
+    srv.close()
+    full.unpersist()
+
+
+def test_ingest_serve_soak(spark, tmp_path):
+    """Property-style soak: a writer thread drives ingest batches,
+    deletes, periodic merges and compactions while a WarehouseServer
+    answers queries THROUGHOUT. Every response must be internally
+    consistent (recomputable from the snapshot + exclude set it was
+    served under) and safe (no doc whose delete completed before the
+    query began is ever returned) — i.e. no torn reads across the
+    concurrent maintenance. Collected-vocab config: serving then never
+    directory-lists delta tables, which is the supported concurrency
+    envelope for compaction (see compact_deltas docstring)."""
+    import os
+    import threading
+    import time as _t
+
+    full = transcripts_df(spark, 40, 5).persist()
+
+    def batch(lo, hi):
+        return full.filter(
+            (F.col("conv_id") >= f"conv{lo:06d}")
+            & (F.col("conv_id") < f"conv{hi:06d}")
+        )
+
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG, hash_base=2**32)
+    idx.initial_build(batch(0, 8))
+    idx.merge_segments(spark)
+    srv = WarehouseServer(idx, spark, tombstone_limit=None)
+
+    deleted_log: list[tuple[float, frozenset]] = []
+    errors: list[BaseException] = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for i in range(1, 5):
+                idx.ingest(batch(8 * i, 8 * (i + 1)), on_oov="extend")
+                conv = f"conv{8 * (i - 1):06d}"
+                docmap = spark.read.option(
+                    "recursiveFileLookup", "true"
+                ).parquet(os.path.join(idx.root, "docmap"))
+                ids = frozenset(
+                    r["doc_id"]
+                    for r in docmap.filter(
+                        F.col("conv_id") == conv
+                    ).collect()
+                )
+                idx.delete_conversations(spark, [conv], strict=False)
+                deleted_log.append((_t.monotonic(), ids))
+                if i % 2 == 0:
+                    idx.merge_segments(spark)
+                if i % 3 == 0:
+                    idx.compact_deltas(spark)
+            idx.merge_segments(spark)
+        except BaseException as e:  # surfaced in the main thread
+            errors.append(e)
+        finally:
+            done.set()
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    responses = []
+    while not done.is_set():
+        t0 = _t.monotonic()
+        r = srv.query(Q, k=20)
+        # capture the state the server answered FROM (same refresh
+        # cycle as the response)
+        responses.append((t0, srv.snapshot_id, srv._exclude, r))
+    th.join(timeout=600)
+    assert not errors, errors
+    assert len(responses) >= 5  # the soak actually interleaved
+
+    # safety: a delete that COMPLETED before the query began must be
+    # suppressed in that query's response
+    for t0, _sid, _excl, r in responses:
+        must_exclude = set()
+        for tc, ids in deleted_log:
+            if tc < t0:
+                must_exclude |= ids
+        assert not any(d in must_exclude for _, _, d, _ in r)
+
+    # consistency: each response is exactly the serve result over the
+    # snapshot + exclude set it reports — the cache never drifted from
+    # the committed snapshot it claims to serve
+    from flame_spark.pipeline import wand_bm25_serve
+    from flame_spark.wand import segments_for_serving
+    from types import SimpleNamespace
+
+    # (query terms are stable across the soak: the formulaic words are
+    # in the initial vocabulary, extend-mode only MINTS ids above it,
+    # and hash_base is pinned — so the final artifacts replay every
+    # response's query identically)
+    art = idx.load_serving_artifacts(spark)
+    index = SimpleNamespace(cfg=idx.cfg, artifacts=art)
+    seen: dict = {}
+    for _t0, sid, excl, r in responses:
+        key = (sid, None if excl is None else tuple(excl))
+        if key in seen:
+            assert seen[key] == r, key  # same state -> same answer
+            continue
+        seen[key] = r
+        segs = segments_for_serving(
+            idx.warehouse.read_snapshot(spark, sid), 4
+        )
+        want = wand_bm25_serve(
+            Q, index, segs, k=20,
+            exclude_docs=None if excl is None else list(excl),
+        )
+        segs.unpersist()
+        assert r == want, sid
+
+    # convergence: the final answer equals a fresh server's over the
+    # final merged state
+    fresh = WarehouseServer(idx, spark, tombstone_limit=None)
+    assert srv.query(Q, k=20) == fresh.query(Q, k=20)
+    fresh.close()
     srv.close()
     full.unpersist()
