@@ -702,9 +702,9 @@ SQL_INCREMENTAL_DELETE = SQL_INCREMENTAL_EXTEND.replace(
 
 
 # fixture-parquet value oracles (generated by tools/gen_fixture_oracles.py;
-# see that file's docstring for which fixtures are INDEPENDENT
-# RECOMPUTATIONS — ann_ivf, bpe_tokens — and which are protocol-replay
-# regression pins — mm, autotune). Every fixture joins on a digest the
+# all four — ann_ivf, bpe_tokens, mm, autotune — are INDEPENDENT
+# RECOMPUTATIONS of the documented protocols sharing no engine code,
+# see that file's docstring). Every fixture joins on a digest the
 # SQL recomputes from the live table, so stale fixtures mismatch loudly.
 _FIXDIR = "/root/repo/tests/fixtures"
 

@@ -17,11 +17,12 @@ Arrow and tie-break bugs; the protocol itself is shared by definition):
   imports); the generator additionally asserts the engine agrees
   BEFORE writing the fixture.
 
-PROTOCOL-REPLAY REGRESSION PIN (generated by running the engine path
-itself once — freezes current behavior against regressions but would
-freeze an initially-wrong implementation too; its math is additionally
-covered by pytest unit oracles):
-- autotune_grid: the winner is fixed given the 30-doc sample.
+- autotune_grid: the reference's seeded 5%-token-drop perturbation,
+  Mersenne-61 LNO-gram hashing (pure-Python ints, no engine hashing
+  code), Counter-based TF cosine and SNR grid selection replayed from
+  the documented protocol (flame.py:582-673); tokens come from the
+  DuckDB word-token oracle expression, not the engine. The generator
+  asserts the engine agrees BEFORE writing.
 
 Every fixture row is keyed by a digest the oracle SQL recomputes from
 the LIVE table and joins on, so a changed corpus yields zero rows (a
@@ -244,6 +245,115 @@ def gen_bpe_tokens(con) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["corpus_md5", "doc_id", "n_subwords"])
 
 
+def gen_autotune(con) -> pd.DataFrame:
+    """Independent replay of the auto-tune grid search (documented
+    protocol, flame.py:582-673): word tokens via the DuckDB oracle
+    expression, the reference's np.random.seed(42) perturbation call
+    sequence, LNO-gram hashes as pure-Python Mersenne-61 arithmetic
+    (no engine hashing code), TF vectors as Counters with
+    intersection-sum cosine (the engine uses dense normalized NumPy
+    vectors), and the SNR = mean(matched) - mean(mismatched) selection
+    with the signal > 0.05 floor, first-max in grid order."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    M61 = (1 << 61) - 1
+    GRID = [
+        (4, 0), (4, 1), (5, 0), (5, 1), (5, 2),
+        (6, 0), (6, 1), (6, 2), (7, 1), (7, 2),
+    ]
+
+    from flame_spark.queries import _TOKS_SQL
+
+    def lno_hashes(ids: list[int], V: int, ngram: int, n_out: int):
+        keep = ngram - n_out
+        if keep < 1 or len(ids) < ngram or V == 0:
+            return []
+        powers = [pow(V, p, M61) for p in range(keep)]
+        out = []
+        for combo in combinations(range(ngram), keep):
+            for w in range(len(ids) - ngram + 1):
+                h = 0
+                for p, c in enumerate(combo):
+                    h = (h + powers[p] * ids[w + c]) % M61
+                out.append(h)
+        return out
+
+    def cosine(c1: Counter, c2: Counter) -> float:
+        n1 = math.sqrt(sum(v * v for v in c1.values()))
+        n2 = math.sqrt(sum(v * v for v in c2.values()))
+        if n1 == 0 or n2 == 0:
+            return 0.0
+        return sum(v * c2[k] for k, v in c1.items() if k in c2) / (n1 * n2)
+
+    out_rows = []
+    for sf in SF_DIRS:
+        rows = con.sql(
+            f"SELECT doc_id, {_TOKS_SQL} AS toks "
+            f"FROM '{sf}/documents.parquet' ORDER BY doc_id LIMIT 30"
+        ).fetchall()
+        digest = con.sql(
+            "SELECT md5(string_agg(text, '' ORDER BY doc_id)) FROM ("
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet' "
+            "ORDER BY doc_id LIMIT 30)"
+        ).fetchone()[0]
+        sample = [list(r[1]) for r in rows]
+        enc = {
+            t: i for i, t in enumerate(sorted({x for s in sample for x in s}))
+        }
+        V = len(enc)
+
+        # the reference's exact RNG call sequence: one rand() per kept
+        # token, a second rand() only when the first fired (drop), pop
+        # short-circuit on the second
+        np.random.seed(42)
+        perturbed = []
+        for toks in sample:
+            kept: list[str] = []
+            for t in toks:
+                if np.random.rand() < 0.05:
+                    if np.random.rand() < 0.5 and len(kept) > 0:
+                        kept.pop()
+                    continue
+                kept.append(t)
+            perturbed.append(kept)
+
+        n = len(sample)
+        best_snr, best = -float("inf"), (6, 1)
+        for ngram, n_out in GRID:
+            if ngram - n_out < 1:
+                continue
+            ov = [
+                Counter(lno_hashes([enc[t] for t in s], V, ngram, n_out))
+                for s in sample
+            ]
+            pv = [
+                Counter(lno_hashes([enc[t] for t in s], V, ngram, n_out))
+                for s in perturbed
+            ]
+            if not any(ov) and not any(pv):
+                continue
+            signal = float(np.mean([cosine(ov[i], pv[i]) for i in range(n)]))
+            noises = [
+                cosine(ov[i], pv[j])
+                for i in range(n)
+                for j in range(n)
+                if i != j
+            ]
+            noise = float(np.mean(noises)) if noises else 0.0
+            snr = signal - noise
+            if snr > best_snr and signal > 0.05:
+                best_snr, best = snr, (ngram, n_out)
+        out_rows.append(
+            (digest, int(best[0]), int(best[1]), float(round(best_snr, 6)))
+        )
+        print(f"autotune {sf}: digest={digest[:12]} -> {out_rows[-1][1:]}")
+    return pd.DataFrame(
+        out_rows, columns=["corpus_md5", "best_ngram", "best_n_out", "snr"]
+    ).astype({"best_ngram": "int32", "best_n_out": "int32"})
+
+
 def gen_mm() -> pd.DataFrame:
     """INDEPENDENT recomputation of mm_image_features — plain NumPy,
     no flame_spark imports. Replays the DOCUMENTED synthetic-media
@@ -311,22 +421,13 @@ def main():
     )
     print(f"mm_image_features: {len(mm)} rows")
 
-    rows = []
-    for sf in SF_DIRS:
-        digest = con.sql(
-            "SELECT md5(string_agg(text, '' ORDER BY doc_id)) FROM ("
-            f"SELECT doc_id, text FROM '{sf}/documents.parquet' "
-            "ORDER BY doc_id LIMIT 30)"
-        ).fetchone()[0]
+    at = gen_autotune(con)
+    # cross-check: the engine must agree with the independent replay
+    # BEFORE the fixture is written — a divergence aborts generation
+    for sf, (_, ng, no, snr) in zip(SF_DIRS, at.itertuples(index=False)):
         r = q_autotune(spark, sf).collect()[0]
-        rows.append(
-            (digest, int(r["best_ngram"]), int(r["best_n_out"]), float(r["snr"]))
-        )
-        print(f"autotune {sf}: digest={digest[:12]} -> {rows[-1][1:]}")
-
-    at = pd.DataFrame(
-        rows, columns=["corpus_md5", "best_ngram", "best_n_out", "snr"]
-    ).astype({"best_ngram": "int32", "best_n_out": "int32"})
+        got = (int(r["best_ngram"]), int(r["best_n_out"]), float(r["snr"]))
+        assert got == (int(ng), int(no), float(snr)), (sf, got, (ng, no, snr))
     con.register("at", at)
     con.sql(
         f"COPY (SELECT * FROM at) TO '{FIXDIR}/autotune_expected.parquet'"
