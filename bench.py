@@ -119,10 +119,58 @@ def _level_tune(cpus: int) -> dict:
     return t
 
 
-def index_build_throughput(cpus: int, n_turns: int, staged_path: str | None = None) -> float:
+def _tree_cpu_seconds() -> float:
+    """utime+stime of this process and every LIVE descendant (the JVM
+    and its Python workers), plus reaped-children time, in seconds.
+
+    The steal-robust secondary scaling signal: co-tenant CPU-time-slice
+    steal stretches wall clock but does not add to the jiffies THIS
+    tree consumes, so cpu(narrow)/cpu(wide) isolates the engine's own
+    parallel overhead. (Hypervisor memory-bandwidth steal still
+    inflates on-CPU stall cycles — no guest-visible counter removes
+    that — but empirically per-thread CPU time is stable within a few
+    percent across runs where wall clock swings 2-3x.)"""
+    import glob
+
+    tck = float(os.sysconf("SC_CLK_TCK"))
+    procs: dict[int, tuple[int, float]] = {}  # pid -> (ppid, cpu_jiffies)
+    for path in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(path) as f:
+                raw = f.read()
+        except OSError:
+            continue  # exited between listing and read
+        head, _, rest = raw.rpartition(")")
+        pid = int(head.split(" (", 1)[0])
+        fields = rest.split()
+        # after the comm field: state=0 ppid=1 ... utime=11 stime=12
+        # cutime=13 cstime=14 (reaped children)
+        ppid = int(fields[1])
+        cpu = float(
+            int(fields[11]) + int(fields[12])
+            + int(fields[13]) + int(fields[14])
+        )
+        procs[pid] = (ppid, cpu)
+    me = os.getpid()
+    total = 0.0
+    for pid, (ppid, cpu) in procs.items():
+        p = pid
+        while p != 0:
+            if p == me:
+                total += cpu
+                break
+            p = procs.get(p, (0, 0.0))[0]
+    return total / tck
+
+
+def index_build_throughput(
+    cpus: int, n_turns: int, staged_path: str | None = None
+) -> tuple[float, float]:
     """Full transcripts index build (doc-id assign -> normalize ->
     tokenize -> shingle -> scored postings -> segments) at the given
-    parallelism; returns turns/sec. Fresh SparkSession per level."""
+    parallelism; returns (turns/sec, cpu_seconds) where cpu_seconds is
+    the process tree's CPU consumption over the timed region (see
+    _tree_cpu_seconds). Fresh SparkSession per level."""
     from flame_spark.config import FlameConfig
     from flame_spark.corpus import add_doc_id_conv
     from flame_spark.data import transcripts_df
@@ -160,6 +208,7 @@ def index_build_throughput(cpus: int, n_turns: int, staged_path: str | None = No
             add_doc_id_conv(raw.limit(2000)).select("doc_id", "text"), cfg
         )
         warm.segments.count()
+        cpu0 = _tree_cpu_seconds()
         t0 = time.perf_counter()
         # contiguous-turn_idx fast path (FIXTURES contract); the generic
         # sort-based add_doc_id covers arbitrary keys. The build is the
@@ -169,7 +218,8 @@ def index_build_throughput(cpus: int, n_turns: int, staged_path: str | None = No
         serving = build_serving_index(tdf.select("doc_id", "text"), cfg)
         serving.segments.count()
         dt = time.perf_counter() - t0
-        return n / dt
+        cpu = _tree_cpu_seconds() - cpu0
+        return n / dt, cpu
     finally:
         spark.stop()
 
@@ -207,17 +257,129 @@ def bm25_latency(spark) -> dict[str, float]:
             t0 = time.perf_counter()
             wand_bm25_serve([q], serving, segments, k=10)
             lats.append((time.perf_counter() - t0) * 1000.0)
-    return {
-        "bm25_p50_ms": round(float(np.percentile(lats, 50)), 1),
+    p50 = float(np.percentile(lats, 50))
+    out = {
+        "bm25_p50_ms": round(p50, 1),
         "bm25_p95_ms": round(float(np.percentile(lats, 95)), 1),
         "n_query_runs": len(lats),
     }
+
+    # throughput path: ONE Spark job scores the whole batch (each
+    # matching posting list decoded once, shared across queries) — the
+    # per-query path pays one job-scheduling round-trip per query, so
+    # qps is capped near 1000/p50 no matter how cheap the kernel is
+    from flame_spark.pipeline import wand_bm25_serve_batch
+
+    batch = [
+        {"query_id": f"{qid}#{rep}", "query_text": qt}
+        for rep in range(8)
+        for qid, qt in BM25_QUERIES
+    ]
+    wand_bm25_serve_batch(batch, serving, segments, k=10)  # warm
+    bt = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = wand_bm25_serve_batch(batch, serving, segments, k=10)
+        bt.append(time.perf_counter() - t0)
+        assert res
+    qps = len(batch) / min(bt)
+    out["serve_batch_n_queries"] = len(batch)
+    out["serve_batch_qps"] = round(qps, 1)
+    out["serve_batch_speedup_vs_p50"] = round(qps / (1000.0 / p50), 2)
+    return out
+
+
+def skew_evidence(spark) -> dict:
+    """Reducer-level balance of the salted vs plain cosine self-join on
+    a Zipf-extreme fixture — salting is equality-tested elsewhere; this
+    measures the BALANCE it buys. Term i (1..n_terms) appears in every
+    doc divisible by i, so df(i) = n_docs/i (Zipf exponent 1) and the
+    hottest term alone contributes ~n_docs^2/2 pair rows to a single
+    reducer in the plain join. Reported: pair rows per join-output
+    partition, max/median over non-empty partitions, AQE disabled so
+    the raw exchange balance is visible (AQE's skew-join split is a
+    runtime mitigation; the salt is the plan-level fix the north rule
+    asks for). Expected shape: plain >> salted, salted ~ 1-2."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flame_spark.similarity import auto_hot_df_threshold, salted_self_join
+
+    n_docs, n_terms = 1200, 120
+    rows = [
+        (int(t), int(d), 1.0)
+        for t in range(1, n_terms + 1)
+        for d in range(0, n_docs, t)
+    ]
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # pin the exchange width so the probe (and its max/median figures)
+    # is reproducible regardless of the calling session's setting
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # the fixture is driver-sized, so Spark would broadcast-hash-join it
+    # and no exchange (hence no skew) would exist; at corpus scale the
+    # weights table cannot broadcast and the self-join IS a sort-merge
+    # join over a hash exchange on the key — force that plan shape so
+    # the probe measures the exchange the real query pays
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        w = spark.createDataFrame(
+            rows, "term long, doc_id long, wn double"
+        ).repartition(16).persist()
+        w.count()
+
+        def per_partition(df) -> list[int]:
+            counts = (
+                df.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            return sorted(int(r["c"]) for r in counts)
+
+        a, b = w.alias("a"), w.alias("b")
+        plain = (
+            a.join(b, "term")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select("term", F.col("a.doc_id"), F.col("b.doc_id"))
+        )
+        # the engine's own cutoff (the default j1 path's policy), not a
+        # hand-picked hot list
+        stats = w.groupBy("term").agg(F.count("*").alias("df"))
+        cutoff = auto_hot_df_threshold(
+            stats, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+        hot = stats.filter(F.col("df") > cutoff).select("term")
+        salted = salted_self_join(
+            w.select("term", "doc_id", "wn"), hot, "term", n_splits=8
+        )
+        out = {}
+        for name, df in (("plain", plain), ("salted", salted)):
+            c = per_partition(df)
+            out[f"{name}_max_over_median"] = round(
+                float(c[-1]) / float(np.median(c)), 2
+            )
+            out[f"{name}_max_rows"] = c[-1]
+        # sanity: identical pair sets (the equality tests prove this
+        # exhaustively; here it guards the fixture itself)
+        n_plain = plain.count()
+        n_salted = salted.count()
+        assert n_plain == n_salted, (n_plain, n_salted)
+        out["n_pairs"] = n_plain
+        out["hot_df_cutoff"] = int(cutoff)
+        w.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def main():
     from flame_spark.session import get_spark
 
-    times, total, latency = {}, 0.0, {}
+    times, total, latency, skew = {}, 0.0, {}, {}
     if os.environ.get("FLAME_BENCH_HEADLINE", "1") != "0":
         spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
         # FATAL: benign teardown noise (e.g. a PythonAccumulatorV2
@@ -231,6 +393,9 @@ def main():
         if os.environ.get("FLAME_BENCH_LATENCY", "1") != "0":
             latency = bm25_latency(spark)
             print(f"  latency: {latency}", file=sys.stderr)
+        if os.environ.get("FLAME_BENCH_SKEW", "1") != "0":
+            skew = skew_evidence(spark)
+            print(f"  skew: {skew}", file=sys.stderr)
         spark.stop()
 
     scaling = {}
@@ -267,18 +432,24 @@ def main():
             idle = vals[3] + vals[4]  # idle + iowait
             return sum(vals) - idle, sum(vals)
 
-        def one_run(cpus: int) -> tuple[float, float]:
-            """-> (turns/sec, co_tenant_cores). The second value is
-            measured DIRECTLY over the run window from /proc/stat:
-            host-wide busy cores minus this level's own core count —
-            unlike loadavg it cannot confuse our own decaying load
-            contribution with co-tenant steal, and it sees mid-run
-            contention that pre-run gating misses."""
+        def one_run(cpus: int) -> tuple[float, float, float]:
+            """-> (turns/sec, co_tenant_cores, cpu_seconds).
+            co_tenant_cores is measured DIRECTLY over the run window
+            from /proc/stat: host-wide busy cores minus this level's
+            own core count — unlike loadavg it cannot confuse our own
+            decaying load contribution with co-tenant steal, and it
+            sees mid-run contention that pre-run gating misses (it
+            still CANNOT see hypervisor-level memory-bandwidth steal
+            from other VMs, which never appears in this guest's
+            /proc/stat — hence the plateau gating and the CPU-time
+            secondary metric below). cpu_seconds is the build's own
+            process-tree CPU over the timed region."""
             code = (
                 "import sys; sys.path.insert(0, '/root/repo');\n"
                 "import bench\n"
-                f"print('TP', bench.index_build_throughput({cpus}, "
-                f"{SCALING_TURNS}, '{staged}'))\n"
+                f"tp, cpu = bench.index_build_throughput({cpus}, "
+                f"{SCALING_TURNS}, '{staged}')\n"
+                "print('TP', tp, 'CPU', cpu)\n"
             )
             b0, t0 = _host_busy_jiffies()
             r = subprocess.run(
@@ -294,7 +465,8 @@ def main():
             co_tenant = max(0.0, busy_cores - (cpus + 0.5))
             for line in r.stdout.splitlines():
                 if line.startswith("TP "):
-                    return float(line.split()[1]), co_tenant
+                    parts = line.split()
+                    return float(parts[1]), co_tenant, float(parts[3])
             raise RuntimeError(
                 f"scaling run local[{cpus}] failed: {r.stderr[-500:]}"
             )
@@ -314,41 +486,79 @@ def main():
             return load
 
         # interleave the levels so co-tenant weather affects both
-        # roughly equally; extra repeats at the wide level (its wall
-        # clock is shorter, so each sample is cheap, and a single quiet
-        # sample is all the best-of needs). Per level, prefer the best
-        # among runs whose measured co-tenant pressure was low; fall
-        # back to overall best. Selecting best-of per level is the
-        # standard de-noising for a shared host: contention only ever
-        # SLOWS a run, so the max is the least-biased estimate of the
-        # uncontended throughput, and the full distribution + per-run
-        # co-tenant cores are disclosed for audit.
+        # roughly equally. Per level, prefer the best among runs whose
+        # measured co-tenant pressure was low; fall back to overall
+        # best. Selecting best-of per level is the standard de-noising
+        # for a shared host: contention only ever SLOWS a run, so the
+        # max is the least-biased estimate of the uncontended
+        # throughput, and the full distribution + per-run co-tenant
+        # cores are disclosed for audit.
+        #
+        # PLATEAU GATING (the r3 driver artifact was under-sampled:
+        # the narrow level's best was still rising after 3 samples and
+        # the wide level's best-of included only bandwidth-stolen
+        # windows that the /proc/stat meter scores 0.0): each level
+        # keeps sampling until its BEST stops improving — two
+        # consecutive samples within 2% of the incumbent best — with
+        # SCALING_REPEATS as the floor and FLAME_BENCH_MAX_REPEATS as
+        # the hard cap.
         NARROW = int(os.environ.get("FLAME_BENCH_NARROW", "1"))
         WIDE = 4 * NARROW
+        MAX_REPEATS = int(os.environ.get("FLAME_BENCH_MAX_REPEATS", "8"))
         runs = {NARROW: [], WIDE: []}
         cotenant = {NARROW: [], WIDE: []}
-        order = [WIDE, NARROW] * SCALING_REPEATS + [WIDE, WIDE]
-        for n in order:
+        cpusec = {NARROW: [], WIDE: []}
+        stale = {NARROW: 0, WIDE: 0}
+
+        def sample(n: int) -> None:
             wait_for_quiet()
-            tp_n, co = one_run(n)
+            best_before = max(runs[n], default=0.0)
+            tp_n, co, cpu = one_run(n)
             runs[n].append(round(tp_n, 1))
             cotenant[n].append(round(co, 2))
+            cpusec[n].append(round(cpu, 1))
+            if tp_n > best_before * 1.02:
+                stale[n] = 0  # still improving -> not yet converged
+            else:
+                stale[n] += 1
+
+        for _ in range(SCALING_REPEATS):
+            sample(WIDE)
+            sample(NARROW)
+        while any(
+            stale[n] < 2 and len(runs[n]) < MAX_REPEATS
+            for n in (WIDE, NARROW)
+        ):
+            for n in (WIDE, NARROW):
+                if stale[n] < 2 and len(runs[n]) < MAX_REPEATS:
+                    sample(n)
 
         def best_quiet(n: int) -> float:
             quiet = [t for t, co in zip(runs[n], cotenant[n]) if co < 1.0]
             return max(quiet) if quiet else max(runs[n])
 
         tp = {n: best_quiet(n) for n in runs}
+        # secondary, steal-slice-robust signal: the build's own
+        # process-tree CPU for IDENTICAL work at each level. Perfect
+        # scaling consumes the same CPU regardless of parallelism, so
+        # min-cpu(narrow)/min-cpu(wide) isolates the engine's parallel
+        # overhead (extra shuffle/coordination cycles at width) from
+        # host weather. min per level: contention can only ADD stall
+        # cycles.
+        cpu_eff = round(min(cpusec[NARROW]) / min(cpusec[WIDE]), 3)
         scaling = {
             "turns": SCALING_TURNS,
             **{f"turns_per_sec_local[{n}]": v for n, v in tp.items()},
             # full per-run distribution: co-tenant CPU steal makes
-            # single runs swing 2-3x, so best-of-N is reported and the
-            # raw samples (+ measured co-tenant busy cores during each
-            # run window) are disclosed
+            # single runs swing 2-3x, so plateau-gated best-of-N is
+            # reported and the raw samples (+ measured co-tenant busy
+            # cores and process-tree CPU seconds during each run
+            # window) are disclosed
             **{f"runs_local[{n}]": v for n, v in runs.items()},
             **{f"cotenant_cores_local[{n}]": v for n, v in cotenant.items()},
+            **{f"cpu_sec_local[{n}]": v for n, v in cpusec.items()},
             "scaling_efficiency": round(tp[WIDE] / (4.0 * tp[NARROW]), 3),
+            "scaling_efficiency_cputime": cpu_eff,
             # external contention context: this container shares CPUs
             # with other tenants; load >> 0 with no local processes
             # means the wall-clock efficiency underestimates the engine
@@ -362,9 +572,10 @@ def main():
             bw = {}
             for n in (2, 8):
                 wait_for_quiet()
-                tp_n, co = one_run(n)
+                tp_n, co, cpu = one_run(n)
                 bw[n] = round(tp_n, 1)
                 cotenant.setdefault(n, []).append(round(co, 2))
+                cpusec.setdefault(n, []).append(round(cpu, 1))
             scaling["turns_per_sec_local[2]"] = bw[2]
             scaling["turns_per_sec_local[8]"] = bw[8]
             scaling["cotenant_cores_local[2]"] = cotenant[2]
@@ -381,6 +592,7 @@ def main():
         "queries": times,
         "sf": SF_DIR,
         "latency": latency,
+        "skew": skew,
         "scaling": scaling,
     }
     print(json.dumps(out))
