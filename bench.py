@@ -494,43 +494,48 @@ def main():
         # throughput, and the full distribution + per-run co-tenant
         # cores are disclosed for audit.
         #
-        # PLATEAU GATING (the r3 driver artifact was under-sampled:
-        # the narrow level's best was still rising after 3 samples and
-        # the wide level's best-of included only bandwidth-stolen
-        # windows that the /proc/stat meter scores 0.0): each level
-        # keeps sampling until its BEST stops improving — two
-        # consecutive samples within 2% of the incumbent best — with
-        # SCALING_REPEATS as the floor and FLAME_BENCH_MAX_REPEATS as
-        # the hard cap.
+        # CONVERGENCE GATING (the r3/r4-preview driver artifacts were
+        # under-sampled: hypervisor memory-bandwidth steal is invisible
+        # to the /proc/stat co-tenant meter, so a level can return a
+        # full set of "provably quiet" samples that are ALL depressed
+        # 10-30%). "Best stopped improving" is not convergence under
+        # that noise model — a level is converged only when its best is
+        # CORROBORATED by a second sample within 5%, i.e. the value is
+        # reproducible, not a lucky (or unlucky) singleton. Until then
+        # keep sampling, SCALING_REPEATS as the floor, MAX_REPEATS as
+        # the narrow-level cap (wide samples are ~3x cheaper and their
+        # best-of deflates the ratio when under-sampled — the r3
+        # failure — so the wide level gets a higher cap).
         NARROW = int(os.environ.get("FLAME_BENCH_NARROW", "1"))
         WIDE = 4 * NARROW
         MAX_REPEATS = int(os.environ.get("FLAME_BENCH_MAX_REPEATS", "8"))
+        max_repeats = {NARROW: MAX_REPEATS, WIDE: MAX_REPEATS + 4}
         runs = {NARROW: [], WIDE: []}
         cotenant = {NARROW: [], WIDE: []}
         cpusec = {NARROW: [], WIDE: []}
-        stale = {NARROW: 0, WIDE: 0}
 
         def sample(n: int) -> None:
             wait_for_quiet()
-            best_before = max(runs[n], default=0.0)
             tp_n, co, cpu = one_run(n)
             runs[n].append(round(tp_n, 1))
             cotenant[n].append(round(co, 2))
             cpusec[n].append(round(cpu, 1))
-            if tp_n > best_before * 1.02:
-                stale[n] = 0  # still improving -> not yet converged
-            else:
-                stale[n] += 1
+
+        def converged(n: int) -> bool:
+            if len(runs[n]) < 2:
+                return False
+            top2 = sorted(runs[n])[-2:]
+            return top2[0] >= 0.95 * top2[1]
 
         for _ in range(SCALING_REPEATS):
             sample(WIDE)
             sample(NARROW)
         while any(
-            stale[n] < 2 and len(runs[n]) < MAX_REPEATS
+            not converged(n) and len(runs[n]) < max_repeats[n]
             for n in (WIDE, NARROW)
         ):
             for n in (WIDE, NARROW):
-                if stale[n] < 2 and len(runs[n]) < MAX_REPEATS:
+                if not converged(n) and len(runs[n]) < max_repeats[n]:
                     sample(n)
 
         def best_quiet(n: int) -> float:
@@ -557,6 +562,14 @@ def main():
             **{f"runs_local[{n}]": v for n, v in runs.items()},
             **{f"cotenant_cores_local[{n}]": v for n, v in cotenant.items()},
             **{f"cpu_sec_local[{n}]": v for n, v in cpusec.items()},
+            # corroboration status: False means the cap was hit with
+            # the best still an un-reproduced singleton (all samples in
+            # a bandwidth-stolen window) — read the efficiency with
+            # that caveat
+            **{
+                f"converged_local[{n}]": converged(n)
+                for n in (NARROW, WIDE)
+            },
             "scaling_efficiency": round(tp[WIDE] / (4.0 * tp[NARROW]), 3),
             "scaling_efficiency_cputime": cpu_eff,
             # external contention context: this container shares CPUs

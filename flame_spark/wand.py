@@ -311,6 +311,10 @@ def wand_topk_serve_batch(
     ]
     if not qmap:
         return []
+    if len({qid for qid, _ in qmap}) != len(qmap):
+        # two queries sharing an id would have their candidate rows
+        # merged into one top-k on the driver — refuse loudly
+        raise ValueError("wand_topk_serve_batch: duplicate query_id")
     all_terms = sorted({t for _, rows in qmap for t, _ in rows})
     seg = segments_sharded.where(F.col("term").isin(all_terms)).select(
         "shard", "term", "doc_deltas", "scores", "block_max"
