@@ -1526,13 +1526,10 @@ ORDER BY var12 DESC, bin ASC LIMIT 1
 """
 
 
-def q_wand_topk_lno(spark, sf_dir):
-    """Full engine path: LNO postings -> compressed segments -> block-max
-    WAND top-k. Equals the exhaustive scorer (pytest-verified); WAND
-    pruning is not SQL-expressible -> rows-only check."""
+def _lno_index(spark, sf_dir):
+    """Memoized (serving_index, persisted segments) for the WAND gates."""
     from .config import FlameConfig
     from .fastbuild import build_serving_index
-    from .pipeline import wand_bm25_topk
 
     def build():
         cfg = FlameConfig(
@@ -1547,7 +1544,16 @@ def q_wand_topk_lno(spark, sf_dir):
         segments.count()
         return serving, segments
 
-    serving, segments = _memo(spark, sf_dir, "lno_index_segments", build)
+    return _memo(spark, sf_dir, "lno_index_segments", build)
+
+
+def q_wand_topk_lno(spark, sf_dir):
+    """Full engine path: LNO postings -> compressed segments -> block-max
+    WAND top-k. Equals the exhaustive scorer (pytest-verified); WAND
+    pruning is not SQL-expressible -> rows-only check."""
+    from .pipeline import wand_bm25_topk
+
+    serving, segments = _lno_index(spark, sf_dir)
     queries = [
         {"query_id": qid, "query_text": qtext} for qid, qtext in BM25_QUERIES
     ]
@@ -1556,6 +1562,37 @@ def q_wand_topk_lno(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("score"),
+    )
+
+
+def q_wand_serve_batch(spark, sf_dir):
+    """Batch SERVING path: the shard-partitioned, term-sorted segment
+    cache (wand.segments_for_serving) scored by ONE job for the whole
+    reference query set (pipeline.wand_bm25_serve_batch — posting lists
+    decoded once per shard and shared across queries). Output is
+    defined to equal the distributed WAND gate, so it shares the SAME
+    exhaustive-BM25 DuckDB oracle — the serving stack is value-checked
+    end to end, not just against its sibling path."""
+    from .pipeline import wand_bm25_serve_batch
+    from .wand import segments_for_serving
+
+    serving, segments = _lno_index(spark, sf_dir)
+
+    def build():
+        cache = segments_for_serving(segments, 8)
+        return cache
+
+    cache = _memo(spark, sf_dir, "lno_serve_cache", build)
+    queries = [
+        {"query_id": qid, "query_text": qtext} for qid, qtext in BM25_QUERIES
+    ]
+    rows = wand_bm25_serve_batch(queries, serving, cache, k=BM25_K)
+    # F.round, not Python round: the oracle compares against Spark's
+    # HALF_UP semantics (same rounding the sibling WAND gate uses)
+    return spark.createDataFrame(
+        rows, "query_id string, rank long, doc_id long, score double"
+    ).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     )
 
 
@@ -1911,6 +1948,7 @@ QUERIES = {
     "mm_image_features": q_multimodal_features,
     "a8_otsu_threshold": q_otsu_threshold,
     "wand_topk_lno": q_wand_topk_lno,
+    "wand_serve_batch": q_wand_serve_batch,
     "ann_ivf_topk": q_ann_ivf,
     "t3_bpe_tokens": q_bpe_tokens,
     "inc_merge_segments": q_incremental_merge,
@@ -1959,6 +1997,10 @@ ORACLE_SQL = {
     # the WAND engine path is score-identical to exhaustive BM25, so
     # the full normalize->LNO->segments->WAND chain gets a value oracle
     "wand_topk_lno": SQL_WAND_TOPK_LNO,
+    # the batch SERVING path is defined to equal the distributed WAND
+    # result, so it shares the same exhaustive-BM25 oracle — cache
+    # layout, shared decode and per-query merge are value-checked
+    "wand_serve_batch": SQL_WAND_TOPK_LNO,
     # deterministic engine paths with committed fixture-parquet oracles
     # (tools/gen_fixture_oracles.py): mm features are seeded constants;
     # the autotune row is keyed by a live digest of its 30-doc sample,
