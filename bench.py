@@ -355,18 +355,19 @@ def skew_evidence(spark) -> dict:
             w.select("term", "doc_id", "wn"), hot, "term", n_splits=8
         )
         out = {}
+        totals = {}
         for name, df in (("plain", plain), ("salted", salted)):
             c = per_partition(df)
             out[f"{name}_max_over_median"] = round(
                 float(c[-1]) / float(np.median(c)), 2
             )
             out[f"{name}_max_rows"] = c[-1]
-        # sanity: identical pair sets (the equality tests prove this
-        # exhaustively; here it guards the fixture itself)
-        n_plain = plain.count()
-        n_salted = salted.count()
-        assert n_plain == n_salted, (n_plain, n_salted)
-        out["n_pairs"] = n_plain
+            totals[name] = sum(c)
+        # sanity: identical pair counts (full pair-set equality is
+        # proven bit-identically in tests; the totals come free from
+        # the per-partition counts — no second pass over the joins)
+        assert totals["plain"] == totals["salted"], totals
+        out["n_pairs"] = totals["plain"]
         out["hot_df_cutoff"] = int(cutoff)
         w.unpersist()
         return out

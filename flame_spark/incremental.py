@@ -766,7 +766,10 @@ class IncrementalIndexer:
         return spark.read.parquet(*paths).select("doc_id").distinct()
 
     def deleted_doc_ids(
-        self, spark: SparkSession, folded: list[str] | None = None
+        self,
+        spark: SparkSession,
+        folded: list[str] | None = None,
+        tolerant: bool = False,
     ):
         """Sorted int64 array of tombstoned doc ids — the live-docs
         exclude set for serve-time suppression (pass to
@@ -781,20 +784,45 @@ class IncrementalIndexer:
         so its size is bounded by the delete rate between merges, not
         the warehouse's delete history; ``WarehouseServer`` additionally
         enforces a hard cap (``tombstone_limit``). Physical clearing of
-        the tombstone table itself is ``purge_tombstones``' job."""
+        the tombstone table itself is ``purge_tombstones``' job.
+
+        ``tolerant``: when the bulk read fails (a CONCURRENT
+        delete_conversations still writing its part files), fall back
+        to per-file reads and drop only the unreadable files. A
+        COMPLETED delete is a readable file, so its docs stay excluded
+        even while another delete is mid-append — keeping a stale
+        exclude set instead would transiently resurrect the completed
+        delete's docs (under-exclusion)."""
         import numpy as np
 
         files = self._tombstone_files()
         if folded:
             drop = set(folded)
             files = [f for f in files if f not in drop]
-        tomb = self._tombstone_df(spark, files)
-        if tomb is None:
+        if not files:
             return np.array([], dtype=np.int64)
-        rows = tomb.collect()
-        return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+        try:
+            # schema/footer reads happen at DataFrame creation, so the
+            # read must be inside the try as well
+            rows = self._tombstone_df(spark, files).collect()
+        except Exception:
+            if not tolerant:
+                raise
+            rows = []
+            for f in files:
+                try:
+                    rows.extend(self._tombstone_df(spark, [f]).collect())
+                except Exception:
+                    continue  # still-writing file; next refresh retries
+        ids = {int(r["doc_id"]) for r in rows}
+        return np.sort(np.fromiter(ids, dtype=np.int64, count=len(ids)))
 
-    def serve_exclude_ids(self, spark: SparkSession, snap_id: str | None = None):
+    def serve_exclude_ids(
+        self,
+        spark: SparkSession,
+        snap_id: str | None = None,
+        tolerant: bool = False,
+    ):
         """Exclude set for serving snapshot ``snap_id`` (default HEAD):
         tombstones NOT folded into that snapshot's merge."""
         log = self.warehouse.snapshot_log
@@ -804,7 +832,7 @@ class IncrementalIndexer:
             if sid is not None
             else []
         )
-        return self.deleted_doc_ids(spark, folded=folded)
+        return self.deleted_doc_ids(spark, folded=folded, tolerant=tolerant)
 
     # -- merge --------------------------------------------------------------
 
@@ -944,10 +972,38 @@ def ingest_stream(
         # files together with genuinely new ones — the stale rows are
         # dropped, the new rows ingest, and the append contract never
         # trips (an unfiltered mixed batch would raise and wedge the
-        # stream permanently)
+        # stream permanently). The drop must stay LOUD for data that
+        # is below the watermark but was never actually ingested
+        # (out-of-order source delivery, not replay): silently
+        # discarding it would lose conversations with no signal, so
+        # at-or-below-watermark conv ids are checked against docmap
+        # and unknown ones raise. (The warehouse is append-keyed, so
+        # the remedy is to re-key the late conversations above the
+        # watermark and re-deliver them.)
         wm = indexer._load_state()["max_conv_id"]
         if wm is not None:
+            stale = batch_df.filter(F.col("conv_id") <= F.lit(wm))
             batch_df = batch_df.filter(F.col("conv_id") > F.lit(wm))
+            if not stale.isEmpty():
+                known = indexer._read_table(
+                    batch_df.sparkSession, "docmap"
+                ).select("conv_id").distinct()
+                unknown = [
+                    r["conv_id"]
+                    for r in stale.select("conv_id")
+                    .distinct()
+                    .join(known, "conv_id", "left_anti")
+                    .collect()
+                ]
+                if unknown:
+                    raise ValueError(
+                        "ingest_stream: batch contains conv_ids at or "
+                        f"below the watermark {wm!r} that were NEVER "
+                        f"ingested (late out-of-order data, not replay):"
+                        f" {sorted(unknown)[:10]} — re-key them above "
+                        "the watermark and re-deliver (append-keyed "
+                        "warehouse)"
+                    )
         if batch_df.isEmpty():
             return
         indexer.ingest(batch_df, on_oov=on_oov)

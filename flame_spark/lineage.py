@@ -243,11 +243,9 @@ class SegmentWarehouse:
         s = dict(summary or {})
         s.setdefault("input_snapshot", input_snapshot)
         s.setdefault("n_shards", n_shards)
-        kwargs = {}
-        if expected_parent is not _UNSET:
-            kwargs["expected_parent"] = expected_parent
         return self.snapshot_log.commit(
-            files, base=data_root, operation=operation, summary=s, **kwargs
+            files, base=data_root, operation=operation, summary=s,
+            expected_parent=expected_parent,
         )
 
     def read_snapshot(
@@ -336,7 +334,10 @@ class SnapshotLog:
 
     # -- writes -------------------------------------------------------------
 
-    _UNSET = object()
+    # the shared module-level sentinel (see top of file): build_snapshot
+    # forwards its own default straight through, so both layers must
+    # agree on what "caller did not specify" looks like
+    _UNSET = _UNSET
 
     def _atomic_write(self, path: str, content: str) -> None:
         tmp = f"{path}.tmp.{os.getpid()}"

@@ -289,22 +289,13 @@ def wand_bm25_serve(
     fastbuild.ServingIndex; ``segments_sharded`` comes from
     wand.segments_for_serving. Returns
     [(query_id, rank, doc_id, score), ...]."""
-    import numpy as np
+    from .wand import _normalize_exclude, wand_topk_serve
 
-    from .wand import wand_topk_serve
-
-    if exclude_docs is not None:
-        # normalize ONCE per batch (a generator would be exhausted by
-        # the first query; a large tombstone array would re-sort per
-        # query on the latency path)
-        exclude_docs = np.unique(
-            np.asarray(
-                exclude_docs
-                if isinstance(exclude_docs, np.ndarray)
-                else list(exclude_docs),
-                dtype=np.int64,
-            )
-        )
+    # normalize ONCE per batch (a generator would be exhausted by the
+    # first query; a large tombstone array would re-sort per query on
+    # the latency path) — the per-query calls then see an already-
+    # canonical array and np.unique on it is cheap
+    exclude_docs = _normalize_exclude(exclude_docs)
     rows = query_term_rows(queries, index)
     out: list[tuple] = []
     for q in queries:

@@ -140,16 +140,24 @@ class WarehouseServer:
             snap_swapped = False
         if sig != self._tomb_sig or snap_swapped:
             try:
+                # tolerant: a concurrent delete's still-writing part
+                # file must not hide OTHER deletes that already
+                # completed — per-file fallback reads every readable
+                # file, so a completed delete is excluded at this very
+                # query (the documented guarantee); the in-flight
+                # file's deletes become visible once its (size, mtime)
+                # flips the signature
                 excl = (
-                    self.idx.serve_exclude_ids(self.spark, head)
+                    self.idx.serve_exclude_ids(
+                        self.spark, head, tolerant=True
+                    )
                     if sig
                     else None
                 )
             except Exception:
-                # concurrent delete_conversations append: footer-less
-                # in-flight part files fail the read — keep the previous
-                # exclude set (over-inclusion is safe) and re-list next
-                # query
+                # last resort (e.g. the tombstone dir vanished under a
+                # concurrent purge): keep the previous exclude set
+                # (over-inclusive, safe) and re-list next query
                 sig = self._tomb_sig
             else:
                 if excl is not None and excl.size == 0:

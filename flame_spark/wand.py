@@ -56,6 +56,21 @@ def wand_topk_per_shard(
     )
 
 
+def _normalize_exclude(exclude_docs) -> np.ndarray | None:
+    """Canonical serve-time exclude set: sorted unique int64 array, or
+    None when empty — ONE implementation shared by every scoring path
+    so the 'tuple-identical results' contract can't drift."""
+    if exclude_docs is None:
+        return None
+    arr = (
+        exclude_docs
+        if isinstance(exclude_docs, np.ndarray)
+        else np.asarray(list(exclude_docs), dtype=np.int64)
+    )
+    arr = np.unique(arr.astype(np.int64, copy=False))
+    return arr if arr.size else None
+
+
 def _decode_posting_row(row, block_size: int):
     """One segment row -> (docs, scores, block_first_docs, block_max),
     the kernel's per-term working arrays. Split out so the batch
@@ -217,17 +232,7 @@ def wand_topk_serve(
     """
     from itertools import chain
 
-    excl = None
-    if exclude_docs is not None:
-        arr = (
-            exclude_docs
-            if isinstance(exclude_docs, np.ndarray)
-            else np.asarray(list(exclude_docs), dtype=np.int64)
-        )
-        excl = np.unique(arr.astype(np.int64, copy=False))
-        if excl.size == 0:
-            excl = None
-
+    excl = _normalize_exclude(exclude_docs)
     terms = [int(t) for t, _ in qterms_rows]
     if not terms:
         return []
@@ -290,16 +295,7 @@ def wand_topk_serve_batch(
     queries_terms: [(query_id, [(term, qtf), ...]), ...].
     Returns [(query_id, rank, doc_id, score), ...] in input query
     order."""
-    excl = None
-    if exclude_docs is not None:
-        arr = (
-            exclude_docs
-            if isinstance(exclude_docs, np.ndarray)
-            else np.asarray(list(exclude_docs), dtype=np.int64)
-        )
-        excl = np.unique(arr.astype(np.int64, copy=False))
-        if excl.size == 0:
-            excl = None
+    excl = _normalize_exclude(exclude_docs)
 
     # per-query term lists in ascending-term order (the fold order);
     # queries with no in-vocabulary terms return no rows, as in the
@@ -382,20 +378,12 @@ def wand_topk(
     scorers and suppressed before any bound is computed (live-docs
     semantics — the top-k over survivors under the stored scores)."""
     exclude_bc = None
-    if exclude_docs is not None:
-        arr = (
-            exclude_docs
-            if isinstance(exclude_docs, np.ndarray)
-            else np.asarray(list(exclude_docs), dtype=np.int64)
-        )
-        arr = np.unique(arr.astype(np.int64, copy=False))
-        if arr.size:
-            # per-call broadcast; Spark's ContextCleaner reclaims it
-            # once the returned plan is garbage-collected, so repeated
-            # calls don't accumulate live broadcasts
-            exclude_bc = (
-                segments.sparkSession.sparkContext.broadcast(arr)
-            )
+    arr = _normalize_exclude(exclude_docs)
+    if arr is not None:
+        # per-call broadcast; Spark's ContextCleaner reclaims it
+        # once the returned plan is garbage-collected, so repeated
+        # calls don't accumulate live broadcasts
+        exclude_bc = segments.sparkSession.sparkContext.broadcast(arr)
     qseg = segments.join(F.broadcast(qterms), "term", "inner").select(
         "query_id",
         "shard",

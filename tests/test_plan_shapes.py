@@ -123,3 +123,40 @@ def test_whole_stage_codegen_on_t5_hot_path(spark, queries):
     assert "BatchEvalPython" not in plan
     mip = [l for l in plan.splitlines() if "MapInPandas" in l]
     assert mip and all("stamp" in l for l in mip), mip
+
+
+def test_batch_serve_scan_is_narrow_over_cache(spark):
+    """The batch serving scan must be a NARROW pass over the
+    shard-partitioned segment cache: InMemoryTableScan with the term
+    filter pushed against the cached batches, and no planner-forced
+    exchange before the scorer — a shuffle here would re-partition the
+    index per query batch (cost tracking index size, not query size)."""
+    from pyspark.sql import functions as F
+
+    from flame_spark.config import FlameConfig
+    from flame_spark.fastbuild import build_serving_index
+    from flame_spark.queries import _docs
+    from flame_spark.wand import segments_for_serving
+
+    cfg = FlameConfig(
+        ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+        term_mode="lno", n_shards=4,
+    )
+    serving = build_serving_index(_docs(spark, SF), cfg)
+    cache = segments_for_serving(serving.segments, 4)
+    terms = [
+        int(r["term"])
+        for r in cache.select("term").distinct().limit(3).collect()
+    ]
+    # the exact scan wand_topk_serve_batch builds
+    seg = cache.where(F.col("term").isin(terms)).select(
+        "shard", "term", "doc_deltas", "scores", "block_max"
+    )
+    plan = _plan(seg)
+    assert "InMemoryTableScan" in plan, plan
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+    # the term filter reaches the cached-batch scan (batch min/max
+    # pruning needs it AT the InMemoryTableScan, not above it)
+    scan_part = plan[plan.index("InMemoryTableScan"):].splitlines()[0]
+    assert "term" in scan_part, scan_part
+    cache.unpersist()

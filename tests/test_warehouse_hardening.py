@@ -135,6 +135,23 @@ def test_stream_mixed_replay_ingests_only_new(spark, tmp_path):
     full.unpersist()
 
 
+def test_stream_late_unknown_conv_raises(spark, tmp_path):
+    """Below-watermark rows that were NEVER ingested are late
+    out-of-order data, not replay — the stream must fail loudly
+    instead of silently discarding the conversations."""
+    full = transcripts_df(spark, 8, 5)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(full.filter(F.col("conv_id") >= "conv000004"))
+
+    stream_dir = tmp_path / "incoming"
+    full.filter(F.col("conv_id") == "conv000002").write.mode(
+        "overwrite"
+    ).parquet(str(stream_dir))
+    with pytest.raises(Exception, match="NEVER"):
+        ingest_stream(idx, spark, str(stream_dir), str(tmp_path / "ck"),
+                      on_oov="drop")
+
+
 def test_merge_commit_conflict_retries(spark, tmp_path, monkeypatch):
     """A writer that commits between the merge's HEAD read and its own
     commit must trigger CommitConflict (expected_parent) — the merge
