@@ -285,3 +285,16 @@ def test_warehouse_admin_cli(spark, tmp_path, capsys):
     # purge expired the log to the delete-folded HEAD only — including
     # the branch orphaned by the earlier rollback
     assert [m["snapshot_id"] for m in run(root, "snapshots")] == [h2]
+
+    # query command: batch serving over HEAD through the same
+    # WarehouseServer facade a deployment uses
+    rows = run(
+        root, "--cpus", "4", "query",
+        '[{"query_id": "q0", '
+        '"query_text": "in nomine sancte et individue trinitatis amen"}]',
+        "--k", "5",
+    )
+    assert rows and [r["rank"] for r in rows] == list(
+        range(1, len(rows) + 1)
+    )
+    assert all(r["query_id"] == "q0" and "score" in r for r in rows)

@@ -38,7 +38,7 @@ def main(argv: list[str]) -> int:
         scored_postings_direct,
     )
     from flame_spark.lineage import SegmentWarehouse, snapshot_id
-    from flame_spark.pipeline import wand_bm25_serve
+    from flame_spark.pipeline import wand_bm25_serve_batch
     from flame_spark.postings import corpus_stats
     from flame_spark.wand import segments_for_serving
 
@@ -74,7 +74,9 @@ def main(argv: list[str]) -> int:
         )
         sharded = segments_for_serving(segs, n_shards)
         sharded.count()
-        for row in wand_bm25_serve(queries, serving, sharded, k=10):
+        # batch path: the whole query set in one job (tuple-identical
+        # to per-query serve, tested)
+        for row in wand_bm25_serve_batch(queries, serving, sharded, k=10):
             print(json.dumps({"query_id": row[0], "rank": row[1],
                               "doc_id": row[2], "score": row[3]}))
     spark.stop()

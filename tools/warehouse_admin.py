@@ -8,6 +8,7 @@
     python tools/warehouse_admin.py <warehouse_dir> purge
     python tools/warehouse_admin.py <warehouse_dir> compact
     python tools/warehouse_admin.py <warehouse_dir> merge
+    python tools/warehouse_admin.py <warehouse_dir> query \'[{"query_id": "q0", "query_text": "..."}]\' [--k 10]
 
 ``snapshots`` / ``rollback`` / ``expire`` are metadata-only
 (SnapshotLog, no Spark session). ``deleted`` / ``delete`` / ``purge``
@@ -30,11 +31,12 @@ def main(argv=None) -> int:
     ap.add_argument("root")
     ap.add_argument(
         "command",
-        choices=["snapshots", "rollback", "expire", "deleted", "delete", "purge", "compact", "merge"],
+        choices=["snapshots", "rollback", "expire", "deleted", "delete", "purge", "compact", "merge", "query"],
     )
     ap.add_argument("args", nargs="*")
     ap.add_argument("--keep", type=int, default=2)
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--k", type=int, default=10, help="query: top-k per query")
     ap.add_argument("--lenient", action="store_true",
                     help="delete: ignore unknown conv_ids instead of erroring")
     a = ap.parse_args(argv)
@@ -116,6 +118,27 @@ def main(argv=None) -> int:
         elif a.command == "compact":
             n = idx.compact_deltas(spark)
             print(json.dumps({"compacted_dirs": n}))
+        elif a.command == "query":
+            # serve over the committed HEAD snapshot through the same
+            # WarehouseServer the long-running deployment uses: one
+            # Spark job for the whole batch, tombstones excluded
+            if not a.args:
+                ap.error("query needs a JSON list of "
+                         "{query_id, query_text} objects")
+            queries = json.loads(a.args[0])
+            from flame_spark.serving import WarehouseServer
+
+            srv = WarehouseServer(idx, spark)
+            try:
+                for qid, rank, doc, score in srv.query_batch(
+                    queries, k=a.k
+                ):
+                    print(json.dumps({
+                        "query_id": qid, "rank": rank,
+                        "doc_id": doc, "score": score,
+                    }))
+            finally:
+                srv.close()
         elif a.command == "merge":
             if "cfg" not in json.load(open(
                 os.path.join(a.root, "state.json"), encoding="utf-8"
