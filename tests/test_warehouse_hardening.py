@@ -278,3 +278,39 @@ def test_server_tombstone_backlog(spark, tmp_path):
     r3 = auto.query(Q, k=20)
     assert not any(d in (deleted | small) for _, _, d, _ in r3)
     auto.close()
+
+
+def test_tolerant_exclude_skips_inflight_tombstone_file(spark, tmp_path):
+    """A corrupt/still-writing part file in the tombstone dir must not
+    hide deletes that already COMPLETED: the tolerant read returns
+    every readable file's doc ids, and the server keeps suppressing
+    them (the strict read raises, for callers that need all-or-nothing
+    like purge)."""
+    raw = transcripts_df(spark, 8, 5)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(raw)
+    idx.merge_segments(spark)
+    assert idx.delete_conversations(spark, ["conv000001"]) > 0
+    completed = set(idx.deleted_doc_ids(spark).tolist())
+    assert completed
+
+    # simulate a concurrent delete mid-append: a part file with no
+    # parquet footer yet
+    junk = os.path.join(idx.tombstones_dir, "part-99999-inflight.parquet")
+    with open(junk, "wb") as f:
+        f.write(b"not a parquet footer")
+
+    with pytest.raises(Exception):
+        idx.deleted_doc_ids(spark)  # strict: all-or-nothing
+    got = set(idx.deleted_doc_ids(spark, tolerant=True).tolist())
+    assert got == completed  # readable files fully represented
+
+    srv = WarehouseServer(idx, spark)
+    r = srv.query(Q, k=20)
+    assert r and not any(d in completed for _, _, d, _ in r)
+    srv.close()
+
+    # once the in-flight file "completes" (valid content), its deletes
+    # surface at the next refresh
+    os.remove(junk)
+    assert set(idx.deleted_doc_ids(spark).tolist()) == completed
