@@ -315,6 +315,11 @@ def wand_topk_serve_batch(
     seg = segments_sharded.where(F.col("term").isin(all_terms)).select(
         "shard", "term", "doc_deltas", "scores", "block_max"
     )
+    # broadcast, not closure-capture: a closure ships with EVERY task
+    # (cache partitions x queries x terms), a broadcast once per
+    # executor; Spark's ContextCleaner reclaims it when the local ref
+    # is garbage-collected
+    qmap_bc = segments_sharded.sparkSession.sparkContext.broadcast(qmap)
 
     def score_partition(batches):
         pdfs = [p for p in batches if len(p)]
@@ -327,7 +332,7 @@ def wand_topk_serve_batch(
                 row["term"]: _decode_posting_row(row, block_size)
                 for _, row in grp.iterrows()
             }
-            for qid, rows in qmap:
+            for qid, rows in qmap_bc.value:
                 entries = [decoded[t] for t, _ in rows if t in decoded]
                 if not entries:
                     continue
