@@ -89,10 +89,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# explicit class: RE2's \s excludes \x0B while Java's includes it —
-# keep both engines on the same 6-char ASCII set (textops.norm_text_col)
+# fully explicit whitespace semantics, mirroring textops.norm_text_col:
+# RE2's \s excludes \x0B while Java's includes it (hence the literal
+# 6-char class), and DuckDB's default trim() strips unicode Zs spaces
+# where Spark's strips only ' ' (hence collapse FIRST, then trim with
+# an explicit ' ' charset — identical in both engines)
 _NORM_SQL = (
-    "lower(regexp_replace(trim(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+    "lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))"
 )
 _TOKS_SQL = (
     f"list_filter(string_split_regex({_NORM_SQL}, '[^a-z0-9]+'), x -> x <> '')"

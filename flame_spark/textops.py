@@ -43,12 +43,16 @@ LATIN_STOPWORDS = [
 def norm_text_col(col):
     r"""lowercase + whitespace-collapsed text (flame.py:396 + :433).
 
-    The whitespace class is EXPLICIT because the two regex engines
-    disagree on shorthand: Java \s includes \x0B (vertical tab), RE2
-    (DuckDB) \s does not — a VT in a document would silently split
-    every norm-text contract (dedup hashes, fingerprints, s2 gate)."""
+    Every whitespace decision is EXPLICIT because the engines disagree
+    on defaults: Java \s includes \x0B where RE2 (DuckDB) does not,
+    and DuckDB's default trim() strips unicode Zs spaces (\xa0,
+    　) where Spark's strips only ' ' (both found by the gate-
+    surface fuzz). The contract is therefore: collapse runs of the
+    6-char class to one space FIRST (edge runs become a single ' '),
+    then trim exactly ' ' — identical semantics in both engines, with
+    unicode spaces outside the class preserved verbatim on both."""
     return F.lower(
-        F.regexp_replace(F.trim(col), "[ \t\n\x0b\f\r]+", " ")
+        F.trim(F.regexp_replace(col, "[ \t\n\x0b\f\r]+", " "))
     )
 
 
