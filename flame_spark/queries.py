@@ -370,7 +370,16 @@ def _sql_wand_lno():
     over the LNO(3,1) term space — WAND pruning must return exactly
     this (it is score-identical to the exhaustive scorer by design, so
     the SQL checks the ENTIRE engine path: normalize -> vocab -> LNO
-    hashes -> postings -> segments -> WAND top-k)."""
+    hashes -> postings -> segments -> WAND top-k).
+
+    Contract scope: the twin tokenizes with the SIMPLE norm (_TOKS_SQL)
+    while the engine builds through the full FLAME normalization
+    (prepare_docs: MUFI folds + adaptive char LUT). The two coincide
+    exactly on corpora inside the engine alphabet — the committed
+    corpora, plus arbitrary whitespace hostility and degenerate docs
+    (tests/test_adversarial_corpus_gates.py) — and the full
+    normalization itself is verified bit-exactly against
+    flame_spark.oracle in the e2e differential tests."""
     vals = []
     for qid, qtext in BM25_QUERIES:
         for i, t in enumerate(_qtoks(qtext)):
