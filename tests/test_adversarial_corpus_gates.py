@@ -66,7 +66,7 @@ SIMPLE_GATES = [
 ]
 FULL_PIPELINE_GATES = ["wand_topk_lno", "wand_serve_batch"]
 
-HOSTILE = list("\t\n\x0b\f\r\xa0　ſꝛæß'%[](){}\\^$|*+?éü") + ["́"]
+HOSTILE = list("\t\n\x0b\f\r\xa0　ſꝛæß'%[](){}\\^$|*+?éü😀𝔘") + ["́"]
 WS_ONLY = list("\t\n\x0b\f\r ")
 
 EDGE_DOCS = [
