@@ -1,0 +1,110 @@
+"""Transcript source readers: JSONL/CSV/parquet must yield the same
+canonical table, malformed rows must be loud (or counted, never
+silent), and an index built from a JSONL export must be byte-equal to
+one built from the parquet original."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flame_spark.config import FlameConfig
+from flame_spark.data import transcripts_df
+from flame_spark.sources.transcripts import (
+    read_transcripts,
+    read_transcripts_with_stats,
+)
+
+CFG = FlameConfig(
+    ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+    term_mode="lno", n_shards=4, block_size=4,
+)
+
+
+def _rows_key(df):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"],
+         r["ts"])
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("src")
+    raw = transcripts_df(spark, 6, 5)
+    raw.coalesce(1).write.mode("overwrite").parquet(str(d / "pq"))
+    # JSONL export (timestamps as ISO strings, Spark's JSON default)
+    raw.coalesce(1).write.mode("overwrite").json(str(d / "jl"))
+    # the CSV WRITER also trims unquoted whitespace by default — a
+    # faithful export must disable it on both sides
+    raw.coalesce(1).write.mode("overwrite").option("header", "true").option(
+        "ignoreLeadingWhiteSpace", "false"
+    ).option("ignoreTrailingWhiteSpace", "false").csv(str(d / "cs"))
+    return d
+
+
+def test_formats_roundtrip_identically(spark, staged):
+    pq = read_transcripts(spark, str(staged / "pq"), "parquet")
+    jl = read_transcripts(spark, str(staged / "jl"), "jsonl")
+    cs = read_transcripts(spark, str(staged / "cs"), "csv")
+    assert pq.schema == jl.schema == cs.schema
+    want = _rows_key(pq)
+    assert _rows_key(jl) == want
+    assert _rows_key(cs) == want
+    assert len(want) > 20
+
+
+def test_malformed_rows_loud_or_counted(spark, staged, tmp_path):
+    bad_dir = tmp_path / "bad"
+    os.makedirs(bad_dir)
+    good = {"conv_id": "c1", "turn_idx": 0, "role": "user",
+            "text": "hello world", "tool": None, "ts": None}
+    lines = [
+        json.dumps(good),
+        "{this is not json",
+        json.dumps({**good, "turn_idx": 1, "text": None}),  # null key col
+        json.dumps({**good, "turn_idx": 2}),
+    ]
+    with open(bad_dir / "part.jsonl", "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+
+    with pytest.raises(ValueError, match="2 malformed"):
+        read_transcripts(spark, str(bad_dir), "jsonl")
+    df, n_bad = read_transcripts_with_stats(
+        spark, str(bad_dir), "jsonl", on_malformed="drop"
+    )
+    assert n_bad == 2
+    assert sorted(r["turn_idx"] for r in df.collect()) == [0, 2]
+
+
+def test_parquet_missing_column_raises(spark, tmp_path):
+    p = tmp_path / "broken"
+    spark.createDataFrame(
+        [("c1", "hello")], "conv_id string, text string"
+    ).write.parquet(str(p))
+    with pytest.raises(ValueError, match="turn_idx"):
+        read_transcripts(spark, str(p), "parquet")
+
+
+def test_jsonl_build_equals_parquet_build(spark, staged, tmp_path):
+    """The whole point of the readers: a warehouse built from a JSONL
+    export must be byte-identical to one built from the parquet
+    original."""
+    from flame_spark.incremental import IncrementalIndexer
+
+    def seg_map(df):
+        return {
+            (int(r["shard"]), r["term"]): (
+                bytes(r["doc_deltas"]), bytes(r["scores"]),
+                tuple(r["block_max"]),
+            )
+            for r in df.collect()
+        }
+
+    a = IncrementalIndexer(str(tmp_path / "wa"), CFG)
+    a.initial_build(read_transcripts(spark, str(staged / "pq"), "parquet"))
+    b = IncrementalIndexer(str(tmp_path / "wb"), CFG)
+    b.initial_build(read_transcripts(spark, str(staged / "jl"), "jsonl"))
+    assert seg_map(a.merge_segments(spark)) == seg_map(b.merge_segments(spark))
