@@ -949,19 +949,37 @@ def ingest_stream(
     input_dir: str,
     checkpoint_dir: str,
     on_oov: str = "error",
+    fmt: str = "parquet",
 ):
     """Structured Streaming file source -> foreachBatch -> ingest: each
     microbatch of new transcript files becomes one ingest delta. Driven
     to completion with processAllAvailable (test mode); in production
     the same query runs continuously and merge_segments is scheduled
-    per N ingests."""
+    per N ingests.
+
+    ``fmt``: 'parquet' (default) or 'jsonl'/'json' — tailing a
+    directory of JSONL conversation logs is the common deployment
+    shape. The JSON stream reads with the explicit canonical schema
+    (sources.transcripts semantics): a malformed line nulls every
+    field, and rows with null conv_id/turn_idx/text FAIL the batch
+    loudly (wedging beats silently indexing half a log)."""
     from .streaming import TRANSCRIPT_SCHEMA
 
-    stream = (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
-        .parquet(input_dir)
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+        "maxFilesPerTrigger", 16
     )
+    if fmt == "parquet":
+        stream = reader.parquet(input_dir)
+    elif fmt in ("jsonl", "json"):
+        stream = reader.option("mode", "PERMISSIVE").json(input_dir)
+        stream = stream.withColumn(
+            "_bad",
+            F.col("conv_id").isNull()
+            | F.col("turn_idx").isNull()
+            | F.col("text").isNull(),
+        )
+    else:
+        raise ValueError(f"unknown stream format {fmt!r}")
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         # at-least-once redelivery: a crash after ingest() committed
@@ -980,6 +998,15 @@ def ingest_stream(
         # and unknown ones raise. (The warehouse is append-keyed, so
         # the remedy is to re-key the late conversations above the
         # watermark and re-deliver them.)
+        if "_bad" in batch_df.columns:
+            n_bad = batch_df.filter(F.col("_bad")).count()
+            if n_bad:
+                raise ValueError(
+                    f"ingest_stream(jsonl): {n_bad} malformed rows in "
+                    "this microbatch (parse failure or null "
+                    "conv_id/turn_idx/text) — fix the log export"
+                )
+            batch_df = batch_df.drop("_bad")
         wm = indexer._load_state()["max_conv_id"]
         if wm is not None:
             stale = batch_df.filter(F.col("conv_id") <= F.lit(wm))

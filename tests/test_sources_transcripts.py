@@ -88,6 +88,30 @@ def test_parquet_missing_column_raises(spark, tmp_path):
         read_transcripts(spark, str(p), "parquet")
 
 
+def test_jsonl_stream_ingest(spark, staged, tmp_path):
+    """Tailing a JSONL log dir must ingest identically to the parquet
+    stream, and a malformed line must fail the batch loudly."""
+    from flame_spark.incremental import IncrementalIndexer, ingest_stream
+
+    full = transcripts_df(spark, 8, 5)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(full.filter(F.col("conv_id") < "conv000004"))
+    jdir = tmp_path / "jl"
+    full.filter(F.col("conv_id") >= "conv000004").coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(jdir))
+    ingest_stream(idx, spark, str(jdir), str(tmp_path / "ck"),
+                  on_oov="drop", fmt="jsonl")
+    assert idx._load_state()["n_ingests"] == 2
+    assert idx._load_state()["max_conv_id"] == "conv000007"
+
+    with open(jdir / "zz-broken.json", "w", encoding="utf-8") as f:
+        f.write('{"conv_id": "conv000009", not json\n')
+    with pytest.raises(Exception, match="malformed"):
+        ingest_stream(idx, spark, str(jdir), str(tmp_path / "ck"),
+                      on_oov="drop", fmt="jsonl")
+
+
 def test_jsonl_build_equals_parquet_build(spark, staged, tmp_path):
     """The whole point of the readers: a warehouse built from a JSONL
     export must be byte-identical to one built from the parquet
