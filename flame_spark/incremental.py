@@ -971,13 +971,10 @@ def ingest_stream(
     if fmt == "parquet":
         stream = reader.parquet(input_dir)
     elif fmt in ("jsonl", "json"):
+        from .sources.transcripts import malformed_pred
+
         stream = reader.option("mode", "PERMISSIVE").json(input_dir)
-        stream = stream.withColumn(
-            "_bad",
-            F.col("conv_id").isNull()
-            | F.col("turn_idx").isNull()
-            | F.col("text").isNull(),
-        )
+        stream = stream.withColumn("_bad", malformed_pred())
     else:
         raise ValueError(f"unknown stream format {fmt!r}")
 

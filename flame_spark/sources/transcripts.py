@@ -27,22 +27,35 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..streaming import TRANSCRIPT_SCHEMA
 
 _KEY_COLS = ("conv_id", "turn_idx", "text")
+#: null sentinel for CSV: the reader cannot otherwise distinguish a
+#: written null from a legitimate empty string (both are an empty
+#: field with default options) — faithful exports write with the same
+#: ``nullValue`` (see tests); a vanilla export's nulls then read back
+#: as '' for string columns, which is safe but lossy.
+CSV_NULL = "\\N"
+
+
+def malformed_pred():
+    """Rows ingestion must refuse: any null key column. A malformed
+    PERMISSIVE row nulls every schema field, so this one predicate
+    catches both parse failures and rows that parsed but lack the
+    fields doc-id assignment depends on. Shared by the batch readers
+    and the streaming ingest path (incremental.ingest_stream)."""
+    pred = F.lit(False)
+    for c in _KEY_COLS:
+        pred = pred | F.col(c).isNull()
+    return pred
 
 
 def _validated(raw: DataFrame, fmt: str, on_malformed: str):
     # NO corrupt-record column: Spark populates it lazily during the
     # parse of *referenced* columns, so filtering on it without caching
     # returns inconsistent results (count and collect can disagree).
-    # A malformed PERMISSIVE row nulls every schema field, so the
-    # key-column null test catches both parse failures and rows that
-    # parsed but lack the fields ingestion depends on.
     if on_malformed not in ("error", "drop"):
         raise ValueError(
             f"on_malformed must be 'error' or 'drop', got {on_malformed!r}"
         )
-    bad_pred = F.lit(False)
-    for c in _KEY_COLS:
-        bad_pred = bad_pred | F.col(c).isNull()
+    bad_pred = malformed_pred()
     bad = raw.filter(bad_pred)
     n_bad = bad.count()
     if n_bad and on_malformed == "error":
@@ -80,9 +93,12 @@ def read_transcripts_with_stats(
     (always 0 under ``on_malformed='error'``, which raises instead)."""
     if fmt == "parquet":
         df = spark.read.parquet(path)
-        missing = [
-            c for c in _KEY_COLS if c not in {f.lower() for f in df.columns}
-        ]
+        # case-insensitive column resolution: validate AND select
+        # through the same lowercase map, so a 'Conv_Id' export cannot
+        # pass the presence check and then silently null out in the
+        # case-sensitive select
+        by_lower = {c.lower(): c for c in df.columns}
+        missing = [c for c in _KEY_COLS if c not in by_lower]
         if missing:
             raise ValueError(
                 f"read_transcripts(parquet): missing columns {missing} "
@@ -93,13 +109,17 @@ def read_transcripts_with_stats(
         canon = spark.createDataFrame([], TRANSCRIPT_SCHEMA).schema
         cols = [
             (
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in df.columns
+                F.col(by_lower[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in by_lower
                 else F.lit(None).cast(f.dataType).alias(f.name)
             )
             for f in canon.fields
         ]
-        return df.select(*cols), 0
+        # the same malformed contract as the text formats: null key
+        # columns (present in the file, or minted by a failed cast —
+        # e.g. a non-numeric turn_idx) must be loud, not format-
+        # dependent
+        return _validated(df.select(*cols), fmt, on_malformed)
     if fmt in ("jsonl", "json"):
         raw = (
             spark.read.schema(TRANSCRIPT_SCHEMA)
@@ -118,6 +138,13 @@ def read_transcripts_with_stats(
             # must write with the same options, see tests)
             .option("ignoreLeadingWhiteSpace", "false")
             .option("ignoreTrailingWhiteSpace", "false")
+            # transcript text routinely contains newlines: without
+            # multiLine the quoted field splits into fragment rows
+            # whose key columns are non-null (silent truncation)
+            .option("multiLine", "true")
+            # distinguish written nulls from legitimate empty strings
+            .option("nullValue", CSV_NULL)
+            .option("emptyValue", "")
             .csv(path)
         )
         return _validated(raw, fmt, on_malformed)

@@ -33,15 +33,28 @@ def _rows_key(df):
 @pytest.fixture(scope="module")
 def staged(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("src")
-    raw = transcripts_df(spark, 6, 5)
+    hard = spark.createDataFrame(
+        [
+            ("zzz_conv_a", 0, "user", "multi\nline\ntext here", None, None),
+            ("zzz_conv_a", 1, "assistant", "", None, None),
+            ("zzz_conv_b", 0, "user", "  edge \t whitespace  ", "grep", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    raw = transcripts_df(spark, 6, 5).unionByName(hard)
     raw.coalesce(1).write.mode("overwrite").parquet(str(d / "pq"))
     # JSONL export (timestamps as ISO strings, Spark's JSON default)
     raw.coalesce(1).write.mode("overwrite").json(str(d / "jl"))
-    # the CSV WRITER also trims unquoted whitespace by default — a
-    # faithful export must disable it on both sides
+    # a faithful CSV export must disable whitespace trimming and write
+    # nulls as an explicit sentinel (reader side: sources.transcripts)
+    from flame_spark.sources.transcripts import CSV_NULL
+
     raw.coalesce(1).write.mode("overwrite").option("header", "true").option(
         "ignoreLeadingWhiteSpace", "false"
-    ).option("ignoreTrailingWhiteSpace", "false").csv(str(d / "cs"))
+    ).option("ignoreTrailingWhiteSpace", "false").option(
+        "nullValue", CSV_NULL
+    ).csv(str(d / "cs"))
     return d
 
 

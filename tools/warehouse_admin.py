@@ -121,7 +121,16 @@ def main(argv=None) -> int:
         elif a.command == "query":
             # serve over the committed HEAD snapshot through the same
             # WarehouseServer the long-running deployment uses: one
-            # Spark job for the whole batch, tombstones excluded
+            # Spark job for the whole batch, tombstones excluded.
+            # Like merge, REFUSE pre-cfg warehouses: a default
+            # FlameConfig would decode postings with the wrong
+            # block_size and hash query terms under the wrong
+            # ngram/tokenizer — wrong top-k with no error
+            if "cfg" not in json.load(open(
+                os.path.join(a.root, "state.json"), encoding="utf-8"
+            )):
+                ap.error("query: this warehouse predates the persisted "
+                         "cfg; run queries from the build script")
             if not a.args:
                 ap.error("query needs a JSON list of "
                          "{query_id, query_text} objects")
