@@ -35,6 +35,17 @@ def _norm(a):
     )
 
 
+def _cosine(a, b):
+    """Cosine with the ZERO-VECTOR guard: a zero-norm side has no
+    direction, so the cosine is NULL — which both engines treat
+    identically (ANSI Spark would otherwise raise DIVIDE_BY_ZERO at
+    the first degenerate row; DuckDB's x/0.0 is NULL, so the oracles
+    already behave this way): NULL fails every >= threshold filter and
+    sorts NULLS LAST under DESC rankings on both engines."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
+
+
 def load_embeddings(spark, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -59,10 +70,7 @@ def cosine_topk_bruteforce(
     scored = joined.select(
         "query_id",
         "vec_id",
-        (
-            _dot(F.col("qvec"), F.col("vec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("vec")))
-        ).alias("cosine"),
+        _cosine(F.col("qvec"), F.col("vec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -162,10 +170,7 @@ def cosine_topk_ivf(
     scored = cands.select(
         "query_id",
         "vec_id",
-        (
-            _dot(F.col("qvec"), F.col("vec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("vec")))
-        ).alias("cosine"),
+        _cosine(F.col("qvec"), F.col("vec")).alias("cosine"),
     ).dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -207,10 +212,7 @@ def embed_cosine_pairs_allpairs(emb: DataFrame, threshold: float) -> DataFrame:
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_i"),
         F.col("b.vec_id").alias("vec_j"),
-        (
-            _dot(F.col("a.vec"), F.col("b.vec"))
-            / (_norm(F.col("a.vec")) * _norm(F.col("b.vec")))
-        ).alias("c"),
+        _cosine(F.col("a.vec"), F.col("b.vec")).alias("c"),
     )
     return pairs.filter(F.col("c") >= threshold).select(
         "vec_i", "vec_j", F.round("c", 6).alias("cosine")
@@ -350,7 +352,13 @@ def embed_cosine_pairs_blocked(
         jj = np.concatenate(jj_parts)
         # exact re-score in oracle fold order on the survivors only
         Ga, Gb = A[ii], Bm[jj]
-        cos = _seq_dot(Ga, Gb) / (_seq_norm(Ga) * _seq_norm(Gb))
+        # zero-vector guard, NumPy flavor: 0-norm -> cosine NaN ->
+        # fails >= thr (same exclusion as the JVM paths' NULL)
+        denom = _seq_norm(Ga) * _seq_norm(Gb)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom > 0, _seq_dot(Ga, Gb) / np.where(
+                denom > 0, denom, 1.0
+            ), np.nan)
         keep = cos >= thr
         ia, jb = ids_a[ii[keep]], ids_b[jj[keep]]
         return pd.DataFrame(
@@ -422,10 +430,7 @@ def embed_near_dup_lsh(
     scored = cand.select(
         "vec_i",
         "vec_j",
-        (
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb")))
-        ).alias("c"),
+        _cosine(F.col("va"), F.col("vb")).alias("c"),
     )
     return scored.filter(F.col("c") >= threshold).select(
         "vec_i", "vec_j", F.round("c", 6).alias("cosine")
@@ -488,10 +493,7 @@ def cosine_topk_lsh(
     scored = cands.select(
         "query_id",
         "vec_id",
-        (
-            _dot(F.col("qvec"), F.col("vec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("vec")))
-        ).alias("cosine"),
+        _cosine(F.col("qvec"), F.col("vec")).alias("cosine"),
     ).dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
