@@ -26,7 +26,11 @@ EMB_GATES = [
     "dedup_embed_lsh_pairs",
     "dedup_embed_groups",
 ]
-EV_GATES = ["events_window5m"]
+# the streaming twins share the batch oracles; both stage the whole
+# adversarial table (window gate: one file = one microbatch; user-state
+# gate: 3 microbatches by event_id mod 3 with state carried across), so
+# the hostile rows flow through the stateful machinery too
+EV_GATES = ["events_window5m", "stream_events_window5m", "stream_user_state"]
 
 
 @pytest.fixture(scope="module")
