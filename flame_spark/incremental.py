@@ -770,6 +770,7 @@ class IncrementalIndexer:
         spark: SparkSession,
         folded: list[str] | None = None,
         tolerant: bool = False,
+        with_dropped: bool = False,
     ):
         """Sorted int64 array of tombstoned doc ids — the live-docs
         exclude set for serve-time suppression (pass to
@@ -792,15 +793,28 @@ class IncrementalIndexer:
         COMPLETED delete is a readable file, so its docs stay excluded
         even while another delete is mid-append — keeping a stale
         exclude set instead would transiently resurrect the completed
-        delete's docs (under-exclusion)."""
+        delete's docs (under-exclusion).
+
+        ``with_dropped``: also return the list of tombstone files the
+        tolerant path had to skip. A dropped file is not always a
+        still-writing one — a transient I/O error or a torn file also
+        lands here — and the resulting exclude set is UNDER-inclusive,
+        so callers that cache by listing signature (WarehouseServer)
+        must treat a non-empty dropped list as 'do not pin this
+        result' and retry the read on the next query."""
         import numpy as np
+
+        dropped: list[str] = []
+
+        def ret(arr):
+            return (arr, dropped) if with_dropped else arr
 
         files = self._tombstone_files()
         if folded:
             drop = set(folded)
             files = [f for f in files if f not in drop]
         if not files:
-            return np.array([], dtype=np.int64)
+            return ret(np.array([], dtype=np.int64))
         try:
             # schema/footer reads happen at DataFrame creation, so the
             # read must be inside the try as well
@@ -813,15 +827,18 @@ class IncrementalIndexer:
                 try:
                     rows.extend(self._tombstone_df(spark, [f]).collect())
                 except Exception:
-                    continue  # still-writing file; next refresh retries
+                    dropped.append(f)  # next refresh must retry
         ids = {int(r["doc_id"]) for r in rows}
-        return np.sort(np.fromiter(ids, dtype=np.int64, count=len(ids)))
+        return ret(
+            np.sort(np.fromiter(ids, dtype=np.int64, count=len(ids)))
+        )
 
     def serve_exclude_ids(
         self,
         spark: SparkSession,
         snap_id: str | None = None,
         tolerant: bool = False,
+        with_dropped: bool = False,
     ):
         """Exclude set for serving snapshot ``snap_id`` (default HEAD):
         tombstones NOT folded into that snapshot's merge."""
@@ -832,7 +849,9 @@ class IncrementalIndexer:
             if sid is not None
             else []
         )
-        return self.deleted_doc_ids(spark, folded=folded, tolerant=tolerant)
+        return self.deleted_doc_ids(
+            spark, folded=folded, tolerant=tolerant, with_dropped=with_dropped
+        )
 
     # -- merge --------------------------------------------------------------
 
@@ -959,10 +978,15 @@ def ingest_stream(
 
     ``fmt``: 'parquet' (default) or 'jsonl'/'json' — tailing a
     directory of JSONL conversation logs is the common deployment
-    shape. The JSON stream reads with the explicit canonical schema
-    (sources.transcripts semantics): a malformed line nulls every
-    field, and rows with null conv_id/turn_idx/text FAIL the batch
-    loudly (wedging beats silently indexing half a log)."""
+    shape. Both formats enforce the canonical malformed-row contract
+    (sources.transcripts.malformed_pred): a JSON parse failure nulls
+    every field, and rows with null conv_id/turn_idx/text FAIL the
+    batch loudly in EITHER format (wedging beats silently indexing
+    half a log — and without the check the parquet path would worse
+    than drop them: under three-valued logic a null conv_id satisfies
+    neither side of the watermark split below, so the row would vanish
+    with no signal at all)."""
+    from .sources.transcripts import malformed_pred
     from .streaming import TRANSCRIPT_SCHEMA
 
     reader = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
@@ -971,12 +995,10 @@ def ingest_stream(
     if fmt == "parquet":
         stream = reader.parquet(input_dir)
     elif fmt in ("jsonl", "json"):
-        from .sources.transcripts import malformed_pred
-
         stream = reader.option("mode", "PERMISSIVE").json(input_dir)
-        stream = stream.withColumn("_bad", malformed_pred())
     else:
         raise ValueError(f"unknown stream format {fmt!r}")
+    stream = stream.withColumn("_bad", malformed_pred())
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         # at-least-once redelivery: a crash after ingest() committed
@@ -999,7 +1021,7 @@ def ingest_stream(
             n_bad = batch_df.filter(F.col("_bad")).count()
             if n_bad:
                 raise ValueError(
-                    f"ingest_stream(jsonl): {n_bad} malformed rows in "
+                    f"ingest_stream({fmt}): {n_bad} malformed rows in "
                     "this microbatch (parse failure or null "
                     "conv_id/turn_idx/text) — fix the log export"
                 )

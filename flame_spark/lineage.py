@@ -347,6 +347,37 @@ class SnapshotLog:
             os.fsync(f.fileno())
         os.replace(tmp, path)
 
+    def _commit_lock(self):
+        """Exclusive advisory lock serializing the read-check-swap span
+        of every HEAD writer. Without it commit(expected_parent=...) is
+        check-then-act: two racing committers (WarehouseServer's
+        on_backlog='merge' vs the admin CLI is a real pairing) can both
+        read the same HEAD, both pass the expected_parent check, mint
+        the same sequence number, and both rename — last writer wins and
+        the loser's snapshot is silently orphaned instead of getting the
+        CommitConflict the optimistic loop is built on. flock is held
+        only across the metadata span (microseconds — data files are
+        written before commit is called), dies with the process (no
+        stale-lock recovery needed), and serializes across processes on
+        one host; a multi-host deployment would swap this layer for a
+        real catalog (Iceberg/Hive) whose commit is already atomic."""
+        import fcntl
+        from contextlib import contextmanager
+
+        lock_path = os.path.join(self.dir, "commit.lock")
+
+        @contextmanager
+        def held():
+            fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return held()
+
     def commit(
         self,
         files: list[str],
@@ -356,41 +387,50 @@ class SnapshotLog:
         expected_parent=_UNSET,
     ) -> str:
         """Publish a new snapshot over ``files`` (absolute paths under
-        the warehouse root). Returns the new snapshot id."""
+        the warehouse root). Returns the new snapshot id. The
+        expected_parent check, sequence mint, and HEAD swap happen
+        under one exclusive lock (see _commit_lock) so a concurrent
+        committer observes either this commit's HEAD or a
+        CommitConflict — never a silent orphan."""
         import uuid
 
-        parent = self.current_id()
-        if expected_parent is not self._UNSET and parent != expected_parent:
-            raise CommitConflict(
-                f"HEAD is {parent!r}, expected {expected_parent!r}"
+        with self._commit_lock():
+            parent = self.current_id()
+            if expected_parent is not self._UNSET and parent != expected_parent:
+                raise CommitConflict(
+                    f"HEAD is {parent!r}, expected {expected_parent!r}"
+                )
+            seq = (self.manifest(parent)["sequence"] + 1) if parent else 0
+            sid = f"{seq:08d}-{uuid.uuid4().hex[:12]}"
+            rel = [os.path.relpath(f, self.root) for f in files]
+            manifest = {
+                "snapshot_id": sid,
+                "parent_id": parent,
+                "sequence": seq,
+                "operation": operation,
+                "committed_at": time.time(),
+                "base": os.path.relpath(base, self.root),
+                "files": rel,
+                "summary": summary or {},
+            }
+            # manifest first (immutable, invisible), HEAD swap last
+            # (atomic visibility) — a kill between the two leaves HEAD
+            # unchanged
+            self._atomic_write(
+                self._snap_path(sid), json.dumps(manifest, indent=1)
             )
-        seq = (self.manifest(parent)["sequence"] + 1) if parent else 0
-        sid = f"{seq:08d}-{uuid.uuid4().hex[:12]}"
-        rel = [os.path.relpath(f, self.root) for f in files]
-        manifest = {
-            "snapshot_id": sid,
-            "parent_id": parent,
-            "sequence": seq,
-            "operation": operation,
-            "committed_at": time.time(),
-            "base": os.path.relpath(base, self.root),
-            "files": rel,
-            "summary": summary or {},
-        }
-        # manifest first (immutable, invisible), HEAD swap last (atomic
-        # visibility) — a kill between the two leaves HEAD unchanged
-        self._atomic_write(
-            self._snap_path(sid), json.dumps(manifest, indent=1)
-        )
-        self._atomic_write(self._head, sid)
+            self._atomic_write(self._head, sid)
         return sid
 
     def rollback(self, snap_id: str) -> None:
-        """Re-point HEAD at an ancestor snapshot (metadata-only undo)."""
-        chain = {m["snapshot_id"] for m in self.snapshots()}
-        if snap_id not in chain:
-            raise ValueError(f"{snap_id!r} is not an ancestor of HEAD")
-        self._atomic_write(self._head, snap_id)
+        """Re-point HEAD at an ancestor snapshot (metadata-only undo).
+        Takes the commit lock so the ancestor check and the HEAD swap
+        are atomic against a racing commit."""
+        with self._commit_lock():
+            chain = {m["snapshot_id"] for m in self.snapshots()}
+            if snap_id not in chain:
+                raise ValueError(f"{snap_id!r} is not an ancestor of HEAD")
+            self._atomic_write(self._head, snap_id)
 
     def expire(self, keep_last: int = 2) -> list[str]:
         """Drop snapshots older than the newest ``keep_last`` on the

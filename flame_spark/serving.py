@@ -52,6 +52,13 @@ from .pipeline import wand_bm25_serve, wand_bm25_serve_batch
 from .wand import segments_for_serving
 
 
+#: refresh() pins the exclude set under this instead of the real
+#: tombstone-listing signature when a tolerant read had to skip a
+#: file: the sentinel compares unequal to every real listing tuple
+#: (and to None), so the next query recomputes unconditionally.
+_DIRTY_SIG = ("__tombstone_read_incomplete__",)
+
+
 class TombstoneBacklogError(RuntimeError):
     """Unmerged tombstones exceed the server's ``tombstone_limit`` —
     run ``merge_segments`` (or construct the server with
@@ -139,6 +146,7 @@ class WarehouseServer:
         else:
             snap_swapped = False
         if sig != self._tomb_sig or snap_swapped:
+            dropped: list = []
             try:
                 # tolerant: a concurrent delete's still-writing part
                 # file must not hide OTHER deletes that already
@@ -147,13 +155,12 @@ class WarehouseServer:
                 # query (the documented guarantee); the in-flight
                 # file's deletes become visible once its (size, mtime)
                 # flips the signature
-                excl = (
-                    self.idx.serve_exclude_ids(
-                        self.spark, head, tolerant=True
+                if sig:
+                    excl, dropped = self.idx.serve_exclude_ids(
+                        self.spark, head, tolerant=True, with_dropped=True
                     )
-                    if sig
-                    else None
-                )
+                else:
+                    excl = None
             except Exception:
                 # last resort (e.g. the tombstone dir vanished under a
                 # concurrent purge): keep the previous exclude set
@@ -183,6 +190,17 @@ class WarehouseServer:
                         "compliance schedule) to fold them in"
                     )
                 self._exclude = excl
+                if dropped:
+                    # a COMPLETED tombstone file failed its per-file
+                    # read (transient I/O error or a torn file, not
+                    # just a still-writing append): the exclude set is
+                    # UNDER-inclusive. Serve with it (better than the
+                    # stale set, which misses the files that DID read)
+                    # but do not pin it under the current listing
+                    # signature — a dirty sentinel never equals a real
+                    # listing, so the very next query retries the read
+                    # instead of waiting for the listing to change
+                    sig = _DIRTY_SIG
             self._tomb_sig = sig
             changed = True
         return changed

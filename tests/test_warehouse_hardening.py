@@ -314,3 +314,122 @@ def test_tolerant_exclude_skips_inflight_tombstone_file(spark, tmp_path):
     # surface at the next refresh
     os.remove(junk)
     assert set(idx.deleted_doc_ids(spark).tolist()) == completed
+
+
+def test_commit_lock_serializes_racing_committers(tmp_path):
+    """Two committers racing the SAME expected_parent: without the
+    commit lock both pass the check-then-act HEAD read, mint the same
+    sequence, and both rename — last writer wins and the loser's
+    snapshot is silently orphaned. With the lock exactly one commits
+    and the other gets the CommitConflict the optimistic loop is
+    built on. Thread-based: flock is per open-file-description, so
+    two fds contend even within one process."""
+    import threading
+
+    from flame_spark.lineage import CommitConflict
+
+    root = tmp_path / "wh"
+    root.mkdir()
+    data = root / "d.bin"
+    data.write_text("x")
+    log = SnapshotLog(str(root))
+    base = log.commit([str(data)], base=str(data), operation="init")
+
+    barrier = threading.Barrier(2)
+    results = []
+
+    def racer(tag: int) -> None:
+        barrier.wait()
+        try:
+            sid = log.commit(
+                [str(data)], base=str(data), operation=f"merge{tag}",
+                expected_parent=base,
+            )
+            results.append(("ok", sid))
+        except CommitConflict:
+            results.append(("conflict", None))
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(r[0] for r in results) == ["conflict", "ok"]
+    winner = next(sid for kind, sid in results if kind == "ok")
+    head = log.manifest()
+    assert head["snapshot_id"] == winner
+    assert head["parent_id"] == base
+    # no orphaned sibling manifest sharing the sequence number
+    seqs = [m["sequence"] for m in log.snapshots()]
+    assert len(seqs) == len(set(seqs))
+
+
+def test_dropped_tombstone_read_not_pinned(spark, tmp_path):
+    """A COMPLETED tombstone file that fails its per-file read (torn
+    file / transient I/O — not a still-writing append) leaves the
+    exclude set UNDER-inclusive. The server must serve with it (better
+    than the stale set, which misses the files that DID read) but not
+    pin it under the listing signature: the very next query retries
+    the read instead of waiting for the listing to change."""
+    from flame_spark.serving import _DIRTY_SIG
+
+    raw = transcripts_df(spark, 8, 5)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(raw)
+    idx.merge_segments(spark)
+    assert idx.delete_conversations(spark, ["conv000001"]) > 0
+    completed = set(idx.deleted_doc_ids(spark).tolist())
+
+    junk = os.path.join(idx.tombstones_dir, "part-99999-torn.parquet")
+    with open(junk, "wb") as f:
+        f.write(b"torn bytes, no parquet footer")
+
+    calls = {"n": 0}
+    orig = idx.serve_exclude_ids
+
+    def counting(spark_, *a, **kw):
+        calls["n"] += 1
+        return orig(spark_, *a, **kw)
+
+    idx.serve_exclude_ids = counting
+
+    srv = WarehouseServer(idx, spark)
+    r = srv.query(Q, k=20)
+    # the readable files' deletes stay suppressed...
+    assert r and not any(d in completed for _, _, d, _ in r)
+    # ...and the under-inclusive result is NOT pinned
+    assert srv._tomb_sig == _DIRTY_SIG
+    n1 = calls["n"]
+    srv.query(Q, k=20)  # listing unchanged — dirty sig forces a retry
+    assert calls["n"] == n1 + 1
+    srv.close()
+
+    # torn file repaired/removed: the next read pins a REAL signature
+    # and subsequent queries stop recomputing
+    os.remove(junk)
+    srv2 = WarehouseServer(idx, spark)
+    srv2.query(Q, k=20)
+    assert srv2._tomb_sig != _DIRTY_SIG
+    n2 = calls["n"]
+    srv2.query(Q, k=20)
+    assert calls["n"] == n2
+    srv2.close()
+
+
+def test_stream_null_conv_id_fails_parquet_batch(spark, tmp_path):
+    """Under three-valued logic a NULL conv_id satisfies neither side
+    of the watermark split (conv_id <= wm is stale, conv_id > wm is
+    kept) — without the malformed check the parquet stream would
+    silently vanish the row, worse than dropping it loudly. Both
+    stream formats must fail the batch."""
+    full = transcripts_df(spark, 8, 5)
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG)
+    idx.initial_build(full.filter(F.col("conv_id") < "conv000004"))
+
+    stream_dir = tmp_path / "incoming"
+    good = full.filter(F.col("conv_id") >= "conv000004")
+    bad = good.limit(1).withColumn("conv_id", F.lit(None).cast("string"))
+    good.unionByName(bad).write.mode("overwrite").parquet(str(stream_dir))
+    with pytest.raises(Exception, match="malformed"):
+        ingest_stream(idx, spark, str(stream_dir), str(tmp_path / "ck"),
+                      on_oov="drop")
