@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .segments import varbyte_decode
 
+#: batch-serve scan filter: at or below this many distinct terms the
+#: query-term set is pushed as a literal In filter (cached-batch
+#: min/max pruning applies); above it, a broadcast semi-join (a
+#: 100k-literal In expression is a Catalyst analysis/codegen tax).
+TERM_FILTER_CUTOFF = 1024
+
 
 def wand_topk_per_shard(
     qseg: DataFrame, k: int, block_size: int, exclude_bc=None
@@ -272,6 +278,27 @@ def wand_topk_serve(
     ]
 
 
+def _batch_term_filter(segments_sharded: DataFrame, all_terms: list) -> DataFrame:
+    """Scan filter for the batch-serve union-of-terms set.
+
+    At or below TERM_FILTER_CUTOFF terms: a literal In filter — pushed
+    into the in-memory columnar scan, where per-batch min/max stats
+    prune the term-sorted cache to only the batches holding these
+    terms. Above it: a 10k-query batch can union to 100k+ distinct
+    terms, and an In expression that size costs Catalyst a
+    100k-literal tree to analyze and codegen per job — switch to a
+    broadcast LEFT SEMI join on a terms DataFrame (one hash probe per
+    segment row). Trade-off: the semi-join does not prune cached
+    batches the way the In filter does, but a batch that wide touches
+    most batches anyway."""
+    if len(all_terms) <= TERM_FILTER_CUTOFF:
+        return segments_sharded.where(F.col("term").isin(all_terms))
+    terms_df = segments_sharded.sparkSession.createDataFrame(
+        [(int(t),) for t in all_terms], "term long"
+    )
+    return segments_sharded.join(F.broadcast(terms_df), "term", "leftsemi")
+
+
 def wand_topk_serve_batch(
     queries_terms: list[tuple],
     segments_sharded: DataFrame,
@@ -312,14 +339,18 @@ def wand_topk_serve_batch(
         # merged into one top-k on the driver — refuse loudly
         raise ValueError("wand_topk_serve_batch: duplicate query_id")
     all_terms = sorted({t for _, rows in qmap for t, _ in rows})
-    seg = segments_sharded.where(F.col("term").isin(all_terms)).select(
+    seg = _batch_term_filter(segments_sharded, all_terms).select(
         "shard", "term", "doc_deltas", "scores", "block_max"
     )
+    spark = segments_sharded.sparkSession
     # broadcast, not closure-capture: a closure ships with EVERY task
     # (cache partitions x queries x terms), a broadcast once per
-    # executor; Spark's ContextCleaner reclaims it when the local ref
-    # is garbage-collected
-    qmap_bc = segments_sharded.sparkSession.sparkContext.broadcast(qmap)
+    # executor; Spark's ContextCleaner reclaims both when the local
+    # refs are garbage-collected. The exclude array gets the same
+    # treatment — at the tombstone_limit default it is ~8 MB of int64,
+    # exactly the per-task shipping cost broadcasting qmap avoids
+    excl_bc = spark.sparkContext.broadcast(excl)
+    qmap_bc = spark.sparkContext.broadcast(qmap)
 
     def score_partition(batches):
         pdfs = [p for p in batches if len(p)]
@@ -327,6 +358,7 @@ def wand_topk_serve_batch(
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         outs = []
+        excl_local = excl_bc.value
         for _, grp in pdf.groupby("shard", sort=False):
             decoded = {
                 row["term"]: _decode_posting_row(row, block_size)
@@ -337,7 +369,7 @@ def wand_topk_serve_batch(
                 if not entries:
                     continue
                 qtfs = [q for t, q in rows if t in decoded]
-                docs, scores = _wand_core(entries, qtfs, k, excl)
+                docs, scores = _wand_core(entries, qtfs, k, excl_local)
                 if docs.size:
                     outs.append(
                         pd.DataFrame(

@@ -142,14 +142,17 @@ def test_batch_serve_scan_is_narrow_over_cache(spark):
         ngram=3, n_out=1, min_text_length=0, tokenizer="word",
         term_mode="lno", n_shards=4,
     )
+    from flame_spark.wand import TERM_FILTER_CUTOFF, _batch_term_filter
+
     serving = build_serving_index(_docs(spark, SF), cfg)
     cache = segments_for_serving(serving.segments, 4)
     terms = [
         int(r["term"])
         for r in cache.select("term").distinct().limit(3).collect()
     ]
-    # the exact scan wand_topk_serve_batch builds
-    seg = cache.where(F.col("term").isin(terms)).select(
+    # the exact scan wand_topk_serve_batch builds (small batch: the
+    # literal-In form, pushed against the cached batches)
+    seg = _batch_term_filter(cache, terms).select(
         "shard", "term", "doc_deltas", "scores", "block_max"
     )
     plan = _plan(seg)
@@ -159,4 +162,17 @@ def test_batch_serve_scan_is_narrow_over_cache(spark):
     # pruning needs it AT the InMemoryTableScan, not above it)
     scan_part = plan[plan.index("InMemoryTableScan"):].splitlines()[0]
     assert "term" in scan_part, scan_part
+
+    # above the cutoff the filter must become a broadcast LEFT SEMI
+    # join — a 100k-literal In expression is a per-job Catalyst
+    # analysis/codegen tax — and still no planner-forced exchange of
+    # the cache side
+    many = list(range(TERM_FILTER_CUTOFF + 5))
+    big = _batch_term_filter(cache, many).select(
+        "shard", "term", "doc_deltas", "scores", "block_max"
+    )
+    big_plan = _plan(big)
+    assert "BroadcastHashJoin" in big_plan and "LeftSemi" in big_plan, big_plan
+    assert " In(" not in big_plan and " IN (" not in big_plan, big_plan
+    assert "ENSURE_REQUIREMENTS" not in big_plan, big_plan
     cache.unpersist()
