@@ -83,13 +83,55 @@ def test_malformed_rows_loud_or_counted(spark, staged, tmp_path):
     with open(bad_dir / "part.jsonl", "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
 
-    with pytest.raises(ValueError, match="2 malformed"):
-        read_transcripts(spark, str(bad_dir), "jsonl")
-    df, n_bad = read_transcripts_with_stats(
+    # error mode is SINGLE-PASS: constructing the reader launches no
+    # job (the old contract ran an eager bad.count() — a full extra
+    # scan per ingest at warehouse scale); the inline check raises
+    # from the caller's own action, naming the offending row
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    spark.sparkContext.setJobGroup("src_err_probe", "probe")
+    df = read_transcripts(spark, str(bad_dir), "jsonl")
+    assert len(tracker.getJobIdsForGroup("src_err_probe")) == 0
+    with pytest.raises(Exception, match="malformed row"):
+        df.count()
+    # the check survives column pruning: a projection that drops every
+    # key column still trips it
+    with pytest.raises(Exception, match="malformed row"):
+        df.select("role").collect()
+
+    # drop mode: one scan too — the count comes from an observe metric
+    # inside the caller's own action, not a separate validation job
+    spark.sparkContext.setJobGroup("src_drop_probe", "probe")
+    df, stats = read_transcripts_with_stats(
         spark, str(bad_dir), "jsonl", on_malformed="drop"
     )
-    assert n_bad == 2
+    assert len(tracker.getJobIdsForGroup("src_drop_probe")) == 0
     assert sorted(r["turn_idx"] for r in df.collect()) == [0, 2]
+    assert stats.n_bad == 2
+
+
+def test_csv_unsplittable_warning(spark, tmp_path):
+    """multiLine CSV is one-task-per-file: a single-file export must
+    warn (the scan cannot parallelize no matter the cluster size); a
+    many-files export must not."""
+    import warnings
+
+    from flame_spark.sources.transcripts import CSV_NULL
+
+    df = spark.createDataFrame(
+        [(f"c{i}", 0, "user", "hi", None, None) for i in range(40)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    one, many = tmp_path / "one", tmp_path / "many"
+    for target, n in ((one, 1), (many, 4)):
+        df.repartition(n).write.option("header", "true").option(
+            "nullValue", CSV_NULL
+        ).csv(str(target))
+    with pytest.warns(UserWarning, match="unsplittable"):
+        read_transcripts(spark, str(one), "csv")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert read_transcripts(spark, str(many), "csv").count() == 40
 
 
 def test_parquet_missing_column_raises(spark, tmp_path):

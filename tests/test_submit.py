@@ -35,20 +35,24 @@ def _zip_package(dest: str) -> str:
     return zpath
 
 
-def _run(zpath, src, wh, queries):
+def _run(zpath, src, wh, queries, fmt=None, expect_rc=0):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip must be the ONLY package source
     env["PYSPARK_PYTHON"] = sys.executable
+    fmt_args = [f"--format={fmt}"] if fmt else []
     r = subprocess.run(
         [
             _spark_submit(), "--master", "local[4]",
             "--conf", "spark.sql.shuffle.partitions=4",
             "--py-files", zpath,
             os.path.join(REPO, "tools", "submit_job.py"),
-            src, wh, "3", json.dumps(queries),
+            *fmt_args, src, wh, "3", json.dumps(queries),
         ],
         capture_output=True, text=True, timeout=600, cwd="/tmp", env=env,
     )
+    if expect_rc != 0:
+        assert r.returncode != 0, "expected the submit to fail"
+        return r.stderr
     assert r.returncode == 0, r.stderr[-2000:]
     out = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
     assert out, r.stdout
@@ -84,3 +88,32 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     out2 = _run(zpath, src, wh, queries)
     assert out2[0]["snapshot"] == build["snapshot"]
     assert out2[1:] == results
+
+
+def test_spark_submit_jsonl_format(spark, tmp_path):
+    """--format=jsonl routes the packaged entry through
+    read_transcripts: a JSONL export builds the same index (same input
+    digest, same query answers) as the parquet original, and a
+    malformed line fails the submit loudly end-to-end."""
+    from flame_spark.data import transcripts_df
+
+    raw = transcripts_df(spark, 20, 6)
+    pq, jl = str(tmp_path / "pq"), str(tmp_path / "jl")
+    raw.write.parquet(pq)
+    raw.coalesce(1).write.json(jl)
+    zpath = _zip_package(str(tmp_path))
+    queries = [
+        {"query_id": "q0",
+         "query_text": "in nomine sancte et individue trinitatis amen"},
+    ]
+    out_pq = _run(zpath, pq, str(tmp_path / "wh_pq"), queries)
+    out_jl = _run(zpath, jl, str(tmp_path / "wh_jl"), queries, fmt="jsonl")
+    assert out_jl[0]["input_snapshot"] == out_pq[0]["input_snapshot"]
+    assert out_jl[1:] == out_pq[1:]
+
+    # malformed line -> the single-pass inline check fails the job
+    with open(os.path.join(jl, "zz-broken.json"), "w") as f:
+        f.write('{"conv_id": "cX", not json\n')
+    err = _run(zpath, jl, str(tmp_path / "wh_bad"), queries,
+               fmt="jsonl", expect_rc=1)
+    assert "malformed row" in err

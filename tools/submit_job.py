@@ -2,8 +2,13 @@
 
     zip -r /tmp/flame_spark.zip flame_spark
     spark-submit --master local[8] --py-files /tmp/flame_spark.zip \\
-        tools/submit_job.py <transcripts_parquet> <warehouse_dir> \\
-        [n_shards] [queries_json]
+        tools/submit_job.py [--format=parquet|jsonl|csv] \\
+        <transcripts_path> <warehouse_dir> [n_shards] [queries_json]
+
+``--format`` routes the source through sources.read_transcripts, so a
+JSONL or CSV export gets the same canonical schema and the same loud
+single-pass malformed-row contract as the parquet path (a malformed
+line fails the submit with the offending row in the message).
 
 Builds the serving index (two-exchange path), writes checkpointed
 segment shards with lineage + metrics into <warehouse_dir>, then (if a
@@ -23,6 +28,10 @@ from pyspark.sql import SparkSession, functions as F
 
 
 def main(argv: list[str]) -> int:
+    fmt = "parquet"
+    if argv and argv[0].startswith("--format="):
+        fmt = argv[0].split("=", 1)[1]
+        argv = argv[1:]
     src, wh_dir = argv[0], argv[1]
     n_shards = int(argv[2]) if len(argv) > 2 else 16
     queries = json.loads(argv[3]) if len(argv) > 3 else []
@@ -42,11 +51,13 @@ def main(argv: list[str]) -> int:
     from flame_spark.postings import corpus_stats
     from flame_spark.wand import segments_for_serving
 
+    from flame_spark.sources.transcripts import read_transcripts
+
     cfg = FlameConfig(
         ngram=3, n_out=1, min_text_length=80, tokenizer="word",
         term_mode="lno", n_shards=n_shards,
     )
-    raw = spark.read.parquet(src)
+    raw = read_transcripts(spark, src, fmt=fmt)
     tdf = add_doc_id(raw, ["conv_id", "turn_idx"]).select("doc_id", "text")
     docs, artifacts = prepare_docs(tdf, cfg)
     stats = corpus_stats(doc_lengths_arith(docs, cfg))
