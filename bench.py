@@ -22,6 +22,31 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING_TURNS = int(os.environ.get("FLAME_BENCH_TURNS", "300000"))
 SCALING_REPEATS = int(os.environ.get("FLAME_BENCH_REPEATS", "3"))
 
+#: Committed quiet-host CPU baselines for the scaling build (BASELINE.md
+#: "CPU-time parity"): process-tree CPU seconds for the IDENTICAL 300k-
+#: turn staged build, measured in provably-quiet windows. Hypervisor
+#: memory-bandwidth steal is invisible to the /proc/stat co-tenant meter
+#: but it inflates on-CPU stall cycles — so a level whose best (min)
+#: cpu_sec sits far above this baseline ran in a bandwidth-stolen
+#: window, and its throughput samples are depressed no matter how many
+#: of them corroborate each other. Keyed by turns, then threads.
+QUIET_CPU_BASELINE = {300000: {1: 92.0, 4: 87.0, 8: 111.0}}
+#: a sample is window-clean when its cpu_sec <= factor * baseline
+WINDOW_STOLEN_FACTOR = float(os.environ.get("FLAME_BENCH_STOLEN_FACTOR", "1.15"))
+#: corroboration tolerance: a best is reproduced when a second sample
+#: lands within 5% of it
+CORROBORATION_TOL = 0.95
+#: durable corroborated-sample history (JSONL, committed for audit):
+#: the driver's per-round artifact reports the best corroborated CLEAN
+#: pair across accumulated history, not one invocation's weather
+HISTORY_PATH = os.environ.get(
+    "FLAME_BENCH_HISTORY",
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_history", "scaling.jsonl",
+    ),
+)
+
 HEADLINE = [
     "t5_lno31_postings",
     "j6_bm25_topk",
@@ -286,6 +311,20 @@ def bm25_latency(spark) -> dict[str, float]:
     out["serve_batch_n_queries"] = len(batch)
     out["serve_batch_qps"] = round(qps, 1)
     out["serve_batch_speedup_vs_p50"] = round(qps / (1000.0 / p50), 2)
+
+    # serve-cache refresh cost: WarehouseServer rebuilds the WHOLE
+    # shard-partitioned term-sorted cache on every merge-commit swap
+    # (serving.refresh -> segments_for_serving). Measure before
+    # optimizing: if one full rebuild costs ~a few seconds at this
+    # index size, an incremental changed-shards-only patch is the
+    # right shape at warehouse scale; the number quantifies that call.
+    rts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fresh = segments_for_serving(serving.segments, max(8, CPUS // 2))
+        rts.append(time.perf_counter() - t0)
+        fresh.unpersist()
+    out["serve_cache_refresh_sec"] = round(min(rts), 2)
     return out
 
 
@@ -375,6 +414,131 @@ def skew_evidence(spark) -> dict:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+# -- scaling sample history + window gating ---------------------------------
+#
+# The driver's artifact is a single invocation, but this host's weather
+# is not: whole windows (hours) run with every sample uniformly
+# depressed 10-60% by hypervisor memory-bandwidth steal that no
+# guest-visible counter meters directly. Corroboration (the best must
+# be REPRODUCED within 5%) proves a number is stable within the
+# window; it cannot prove the window is clean. Two additions close
+# that gap:
+#
+#  1. WINDOW GATING: the committed quiet-host CPU baseline
+#     (QUIET_CPU_BASELINE) is the tell — bandwidth steal inflates the
+#     build's own on-CPU cycles, so a sample whose cpu_sec exceeds
+#     baseline * WINDOW_STOLEN_FACTOR is marked stolen and never
+#     elected best; a level keeps sampling past the corroboration
+#     floor until a CLEAN corroborated best exists or the cap is hit,
+#     and at the cap the artifact says `window_stolen` instead of
+#     reporting a clean-looking depressed ratio.
+#  2. DURABLE HISTORY: every sample is appended to HISTORY_PATH keyed
+#     by an engine-code digest + turn count; the reported efficiency
+#     uses the best corroborated clean pair across ACCUMULATED
+#     history, so one stolen invocation cannot erase quiet-window
+#     evidence gathered when the identical code ran before.
+
+
+def _engine_digest() -> str:
+    """Digest of the code the scaling build actually measures — history
+    samples are comparable only while that code is byte-identical.
+    Hashes the build-path engine modules (staging -> doc-id ->
+    normalize -> tokenize -> shingle -> postings -> segments) plus the
+    harness's JVM tuning constants; bench.py itself is NOT hashed
+    (harness/reporting edits do not change engine speed)."""
+    import hashlib
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "flame_spark")
+    mods = [
+        "bpe", "config", "constants", "corpus", "data", "fastbuild",
+        "floatops", "hashing", "normalize", "postings", "segments",
+        "session",
+    ]
+    h = hashlib.sha256()
+    for m in mods:
+        with open(os.path.join(base, f"{m}.py"), "rb") as f:
+            h.update(f.read())
+    h.update(repr(sorted(BUILD_TUNE.items())).encode())
+    h.update(b"|heap=6g/core|gcthreads=cores|shards=4c|minlen=80|lno3")
+    return h.hexdigest()[:16]
+
+
+def load_history(key: str, turns: int, path: str = None) -> dict:
+    """{level: [(tp, cpu_sec, cotenant), ...]} for matching engine
+    digest + turn count. Unreadable lines are skipped (history is an
+    optimization, never a failure source)."""
+    path = path or HISTORY_PATH
+    out: dict[int, list] = {}
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            try:
+                e = json.loads(line)
+                if e["key"] == key and e["turns"] == turns:
+                    out.setdefault(int(e["level"]), []).append(
+                        (float(e["tp"]), float(e["cpu_sec"]),
+                         float(e.get("cotenant", 0.0)))
+                    )
+            except (ValueError, KeyError):
+                continue
+    return out
+
+
+def append_history(
+    key: str, turns: int, level: int, tp: float, cpu_sec: float,
+    cotenant: float, path: str = None,
+) -> None:
+    path = path or HISTORY_PATH
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps({
+            "key": key, "turns": turns, "level": level,
+            "tp": round(tp, 1), "cpu_sec": round(cpu_sec, 1),
+            "cotenant": round(cotenant, 2), "ts": int(time.time()),
+        }) + "\n")
+
+
+def best_corroborated(tps: list, tol: float = CORROBORATION_TOL):
+    """(best, corroborated): the largest throughput reproduced by a
+    second sample within ``tol`` — walking the sorted samples downward,
+    an un-reproduced singleton (lucky spike) is skipped in favor of
+    the next value that IS backed by a neighbor. Falls back to the
+    overall max with corroborated=False when nothing reproduces."""
+    s = sorted(tps, reverse=True)
+    for i in range(len(s) - 1):
+        if s[i + 1] >= tol * s[i]:
+            return s[i], True
+    return (s[0], False) if s else (None, False)
+
+
+def choose_level_stat(samples: list, baseline_cpu: float | None) -> dict:
+    """Elect one level's reported throughput from pooled (tp, cpu_sec,
+    cotenant) samples. Clean samples (cpu_sec within the stolen factor
+    of the quiet baseline) are preferred for election; stolen samples
+    are still disclosed but can only be elected when NO clean sample
+    exists — in which case the level is flagged window_stolen."""
+    if baseline_cpu is not None:
+        cutoff = WINDOW_STOLEN_FACTOR * baseline_cpu
+        clean = [s for s in samples if s[1] <= cutoff]
+    else:
+        clean = list(samples)  # no committed baseline: no window gate
+    pool = clean if clean else samples
+    best, corr = best_corroborated([s[0] for s in pool])
+    return {
+        "best": best,
+        "corroborated": corr,
+        "n_clean": len(clean),
+        "n_total": len(samples),
+        # stolen = the elected number comes from a depressed window
+        # (no clean sample at all), or a clean best that nothing
+        # reproduced — either way it must not read as a clean ratio
+        "window_stolen": (not clean and baseline_cpu is not None)
+        or not corr,
+        "min_cpu_sec": round(min(s[1] for s in samples), 1) if samples else None,
+    }
 
 
 def main():
@@ -515,63 +679,108 @@ def main():
         cotenant = {NARROW: [], WIDE: []}
         cpusec = {NARROW: [], WIDE: []}
 
+        # durable history: pool this invocation's samples with every
+        # prior sample taken on BYTE-IDENTICAL engine code at the same
+        # turn count, so the reported pair survives a stolen window
+        key = _engine_digest()
+        hist = load_history(key, SCALING_TURNS)
+        base_cpu = QUIET_CPU_BASELINE.get(SCALING_TURNS, {})
+
+        def pooled(n: int) -> list:
+            cur = list(zip(runs[n], cpusec[n], cotenant[n]))
+            return cur + hist.get(n, [])
+
+        def level_stat(n: int) -> dict:
+            return choose_level_stat(pooled(n), base_cpu.get(n))
+
+        def level_done(n: int) -> bool:
+            st = level_stat(n)
+            return st["corroborated"] and not st["window_stolen"]
+
         def sample(n: int) -> None:
             wait_for_quiet()
             tp_n, co, cpu = one_run(n)
             runs[n].append(round(tp_n, 1))
             cotenant[n].append(round(co, 2))
             cpusec[n].append(round(cpu, 1))
+            append_history(key, SCALING_TURNS, n, tp_n, cpu, co)
 
-        def converged(n: int) -> bool:
-            if len(runs[n]) < 2:
-                return False
-            top2 = sorted(runs[n])[-2:]
-            return top2[0] >= 0.95 * top2[1]
-
+        # floor: fresh evidence every invocation, then keep sampling
+        # any level that lacks a corroborated CLEAN best (pooled with
+        # history) until its cap — a stolen window no longer converges
+        # on its own depressed samples
         for _ in range(SCALING_REPEATS):
             sample(WIDE)
             sample(NARROW)
         while any(
-            not converged(n) and len(runs[n]) < max_repeats[n]
+            not level_done(n) and len(runs[n]) < max_repeats[n]
             for n in (WIDE, NARROW)
         ):
             for n in (WIDE, NARROW):
-                if not converged(n) and len(runs[n]) < max_repeats[n]:
+                if not level_done(n) and len(runs[n]) < max_repeats[n]:
                     sample(n)
 
-        def best_quiet(n: int) -> float:
-            quiet = [t for t, co in zip(runs[n], cotenant[n]) if co < 1.0]
-            return max(quiet) if quiet else max(runs[n])
-
-        tp = {n: best_quiet(n) for n in runs}
+        stats = {n: level_stat(n) for n in (NARROW, WIDE)}
+        tp = {n: stats[n]["best"] for n in (NARROW, WIDE)}
         # secondary, steal-slice-robust signal: the build's own
         # process-tree CPU for IDENTICAL work at each level. Perfect
         # scaling consumes the same CPU regardless of parallelism, so
         # min-cpu(narrow)/min-cpu(wide) isolates the engine's parallel
         # overhead (extra shuffle/coordination cycles at width) from
-        # host weather. min per level: contention can only ADD stall
-        # cycles.
-        cpu_eff = round(min(cpusec[NARROW]) / min(cpusec[WIDE]), 3)
+        # host weather. min per level (pooled with history): contention
+        # can only ADD stall cycles.
+        cpu_pool = {n: [s[1] for s in pooled(n)] for n in (NARROW, WIDE)}
+        cpu_eff = round(min(cpu_pool[NARROW]) / min(cpu_pool[WIDE]), 3)
+        this_run = (
+            round(max(runs[WIDE]) / (4.0 * max(runs[NARROW])), 3)
+            if runs[NARROW] and runs[WIDE]
+            else None
+        )
         scaling = {
             "turns": SCALING_TURNS,
             **{f"turns_per_sec_local[{n}]": v for n, v in tp.items()},
             # full per-run distribution: co-tenant CPU steal makes
-            # single runs swing 2-3x, so plateau-gated best-of-N is
-            # reported and the raw samples (+ measured co-tenant busy
-            # cores and process-tree CPU seconds during each run
-            # window) are disclosed
+            # single runs swing 2-3x, so the elected best-of (clean +
+            # corroborated, pooled with history) is reported and the
+            # raw samples (+ measured co-tenant busy cores and
+            # process-tree CPU seconds during each run window) are
+            # disclosed
             **{f"runs_local[{n}]": v for n, v in runs.items()},
             **{f"cotenant_cores_local[{n}]": v for n, v in cotenant.items()},
             **{f"cpu_sec_local[{n}]": v for n, v in cpusec.items()},
             # corroboration status: False means the cap was hit with
-            # the best still an un-reproduced singleton (all samples in
-            # a bandwidth-stolen window) — read the efficiency with
-            # that caveat
+            # the best still an un-reproduced singleton — read the
+            # efficiency with that caveat
             **{
-                f"converged_local[{n}]": converged(n)
+                f"converged_local[{n}]": stats[n]["corroborated"]
+                for n in (NARROW, WIDE)
+            },
+            # window gating vs the committed quiet-host CPU baseline:
+            # a level with zero clean samples (every window bandwidth-
+            # stolen, cpu_sec > factor*baseline) self-describes as
+            # stolen instead of reporting a clean-looking depressed
+            # ratio; n_clean/n_total count POOLED samples (history
+            # included), min_cpu_sec is the pooled best
+            **{
+                f"window_clean_local[{n}]":
+                    f"{stats[n]['n_clean']}/{stats[n]['n_total']}"
+                for n in (NARROW, WIDE)
+            },
+            **{
+                f"min_cpu_sec_local[{n}]": stats[n]["min_cpu_sec"]
+                for n in (NARROW, WIDE)
+            },
+            "window_stolen": any(
+                stats[n]["window_stolen"] for n in (NARROW, WIDE)
+            ),
+            "quiet_cpu_baseline": {str(n): base_cpu.get(n) for n in (NARROW, WIDE)},
+            "engine_digest": key,
+            **{
+                f"history_n_local[{n}]": len(hist.get(n, []))
                 for n in (NARROW, WIDE)
             },
             "scaling_efficiency": round(tp[WIDE] / (4.0 * tp[NARROW]), 3),
+            "scaling_efficiency_this_run": this_run,
             "scaling_efficiency_cputime": cpu_eff,
             # external contention context: this container shares CPUs
             # with other tenants; load >> 0 with no local processes
