@@ -36,6 +36,31 @@ WINDOW_STOLEN_FACTOR = float(os.environ.get("FLAME_BENCH_STOLEN_FACTOR", "1.15")
 #: corroboration tolerance: a best is reproduced when a second sample
 #: lands within 5% of it
 CORROBORATION_TOL = 0.95
+#: Corroboration-gated quiet-window pairs from prior full runs of this
+#: harness, disclosed in the artifact whenever the current window is
+#: stolen. VALIDITY: the build-path engine modules hashed by
+#: _engine_digest are byte-identical since commit a34be2e (verified:
+#: `git diff a34be2e HEAD -- <digest modules>` is empty), which
+#: predates all three measurements — so these pairs measure the SAME
+#: code the current digest covers. They are not merged into the sample
+#: history because their per-sample cpu_sec values were not recorded
+#: (only the throughput distributions and the level-ratio CPU-time
+#: metric survive, BASELINE.md round-4 section); without cpu_sec the
+#: clean/stolen classification cannot be applied, so they ride along
+#: as disclosed context rather than election candidates.
+HISTORICAL_QUIET_PAIRS = [
+    {"narrow_tps": 3470.0, "wide_tps": 12590.0, "efficiency": 0.907,
+     "cputime_efficiency": 0.943, "note": "r4 gated run 1, quiet"},
+    {"narrow_tps": 3503.0, "wide_tps": 11617.0, "efficiency": 0.829,
+     "cputime_efficiency": 0.864, "note": "r4 gated run 2, ordinary weather"},
+    {"narrow_tps": None, "wide_tps": None, "efficiency": 0.919,
+     "cputime_efficiency": 0.942,
+     "note": "r4 gated run 3, stolen window — ratio corroborated, "
+             "absolute tps depressed ~30% at both levels"},
+    {"narrow_tps": 3488.0, "wide_tps": 12786.0, "efficiency": 0.916,
+     "cputime_efficiency": None, "note": "r3 provably-quiet window"},
+]
+
 #: durable corroborated-sample history (JSONL, committed for audit):
 #: the driver's per-round artifact reports the best corroborated CLEAN
 #: pair across accumulated history, not one invocation's weather
@@ -772,6 +797,16 @@ def main():
             },
             "window_stolen": any(
                 stats[n]["window_stolen"] for n in (NARROW, WIDE)
+            ),
+            # when stolen, carry the engine's demonstrated quiet-window
+            # pairs (measured on byte-identical build-path code — see
+            # HISTORICAL_QUIET_PAIRS validity note) so the artifact
+            # reads "this window could not measure the engine; here is
+            # what clean windows measured", not just a depressed ratio
+            **(
+                {"historical_quiet_pairs": HISTORICAL_QUIET_PAIRS}
+                if any(stats[n]["window_stolen"] for n in (NARROW, WIDE))
+                else {}
             ),
             "quiet_cpu_baseline": {str(n): base_cpu.get(n) for n in (NARROW, WIDE)},
             "engine_digest": key,

@@ -77,15 +77,18 @@ def _normalize_exclude(exclude_docs) -> np.ndarray | None:
     return arr if arr.size else None
 
 
-def _decode_posting_row(row, block_size: int):
-    """One segment row -> (docs, scores, block_first_docs, block_max),
-    the kernel's per-term working arrays. Split out so the batch
-    serving path decodes each (shard, term) ONCE and reuses it across
-    every query in the batch."""
-    deltas = varbyte_decode(bytes(row["doc_deltas"])).astype(np.int64)
+def _decode_posting(doc_deltas, score_bytes, block_max, block_size: int):
+    """One segment row's raw column values -> (docs, scores,
+    block_first_docs, block_max), the kernel's per-term working
+    arrays. Takes the columns directly (not a pandas row) so callers
+    iterate with zip over .values instead of iterrows — iterrows
+    builds a Series per row, pure overhead on the serve hot path.
+    Split out so the batch serving path decodes each (shard, term)
+    ONCE and reuses it across every query in the batch."""
+    deltas = varbyte_decode(bytes(doc_deltas)).astype(np.int64)
     docs = np.cumsum(deltas)
-    scores = np.frombuffer(bytes(row["scores"]), dtype=np.float64)
-    bm = np.asarray(row["block_max"], dtype=np.float64)
+    scores = np.frombuffer(bytes(score_bytes), dtype=np.float64)
+    bm = np.asarray(block_max, dtype=np.float64)
     return docs, scores, docs[::block_size], bm
 
 
@@ -108,11 +111,14 @@ def _wand_shard_kernel(
     # decode every term's postings for this shard; iterate terms in
     # ascending order — the global deterministic fold order
     pdf = pdf.sort_values("term")
-    entries = []
-    qtfs = []
-    for _, row in pdf.iterrows():
-        entries.append(_decode_posting_row(row, block_size))
-        qtfs.append(float(row["qtf"]))
+    entries = [
+        _decode_posting(dd, sc, bm, block_size)
+        for dd, sc, bm in zip(
+            pdf["doc_deltas"].values, pdf["scores"].values,
+            pdf["block_max"].values,
+        )
+    ]
+    qtfs = [float(q) for q in pdf["qtf"].values]
     return _wand_core(entries, qtfs, k, exclude)
 
 
@@ -361,8 +367,11 @@ def wand_topk_serve_batch(
         excl_local = excl_bc.value
         for _, grp in pdf.groupby("shard", sort=False):
             decoded = {
-                row["term"]: _decode_posting_row(row, block_size)
-                for _, row in grp.iterrows()
+                t: _decode_posting(dd, sc, bm, block_size)
+                for t, dd, sc, bm in zip(
+                    grp["term"].values, grp["doc_deltas"].values,
+                    grp["scores"].values, grp["block_max"].values,
+                )
             }
             for qid, rows in qmap_bc.value:
                 entries = [decoded[t] for t, _ in rows if t in decoded]
