@@ -466,6 +466,19 @@ def skew_evidence(spark) -> dict:
 #     evidence gathered when the identical code ran before.
 
 
+#: the build-path engine modules the scaling digest hashes — MUST stay
+#: equal to the transitive flame_spark-internal import closure of the
+#: measured entry points (fastbuild/corpus/data/session/config);
+#: tests/test_bench_scaling_gate.py recomputes the closure from the AST
+#: and fails if an import drifts outside this list (which would let the
+#: digest call changed code "identical" and pool incomparable samples)
+ENGINE_DIGEST_MODULES = [
+    "bpe", "config", "constants", "corpus", "data", "fastbuild",
+    "floatops", "hashing", "normalize", "postings", "segments",
+    "session",
+]
+
+
 def _engine_digest() -> str:
     """Digest of the code the scaling build actually measures — history
     samples are comparable only while that code is byte-identical.
@@ -476,13 +489,8 @@ def _engine_digest() -> str:
     import hashlib
 
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "flame_spark")
-    mods = [
-        "bpe", "config", "constants", "corpus", "data", "fastbuild",
-        "floatops", "hashing", "normalize", "postings", "segments",
-        "session",
-    ]
     h = hashlib.sha256()
-    for m in mods:
+    for m in ENGINE_DIGEST_MODULES:
         with open(os.path.join(base, f"{m}.py"), "rb") as f:
             h.update(f.read())
     h.update(repr(sorted(BUILD_TUNE.items())).encode())
@@ -733,7 +741,16 @@ def main():
         # floor: fresh evidence every invocation, then keep sampling
         # any level that lacks a corroborated CLEAN best (pooled with
         # history) until its cap — a stolen window no longer converges
-        # on its own depressed samples
+        # on its own depressed samples. A wall-clock budget bounds the
+        # extension (stolen runs are also SLOW runs, so a fully stolen
+        # window would otherwise stretch the invocation several-fold);
+        # budget exhaustion is disclosed, and history still accumulates
+        # every sample taken for later invocations to pool.
+        budget_sec = float(
+            os.environ.get("FLAME_BENCH_SCALING_BUDGET_SEC", "2700")
+        )
+        t_start = time.monotonic()
+        budget_exhausted = False
         for _ in range(SCALING_REPEATS):
             sample(WIDE)
             sample(NARROW)
@@ -741,6 +758,9 @@ def main():
             not level_done(n) and len(runs[n]) < max_repeats[n]
             for n in (WIDE, NARROW)
         ):
+            if time.monotonic() - t_start > budget_sec:
+                budget_exhausted = True
+                break
             for n in (WIDE, NARROW):
                 if not level_done(n) and len(runs[n]) < max_repeats[n]:
                     sample(n)
@@ -798,6 +818,7 @@ def main():
             "window_stolen": any(
                 stats[n]["window_stolen"] for n in (NARROW, WIDE)
             ),
+            "sampling_budget_exhausted": budget_exhausted,
             # when stolen, carry the engine's demonstrated quiet-window
             # pairs (measured on byte-identical build-path code — see
             # HISTORICAL_QUIET_PAIRS validity note) so the artifact

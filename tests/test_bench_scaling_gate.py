@@ -162,3 +162,43 @@ def test_history_entry_shape(tmp_path):
         "cpu_sec": 88.1, "cotenant": 0.12, "ts": e["ts"],
     }
     assert isinstance(e["ts"], int)
+
+
+def test_engine_digest_modules_equal_import_closure():
+    """The digest module list must equal the transitive
+    flame_spark-internal import closure of the measured build path —
+    if an import drifts outside the list, the digest would call
+    changed code 'identical' and pool incomparable history samples."""
+    import ast, os
+
+    base = "/root/repo/flame_spark"
+
+    def internal_imports(mod):
+        path = os.path.join(base, f"{mod}.py")
+        if not os.path.exists(path):
+            return set()
+        out = set()
+        for node in ast.walk(ast.parse(open(path).read())):
+            if isinstance(node, ast.ImportFrom):
+                if node.level == 1 and node.module:
+                    out.add(node.module.split(".")[0])
+                elif node.module and node.module.startswith("flame_spark."):
+                    out.add(node.module.split(".")[1])
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith("flame_spark."):
+                        out.add(a.name.split(".")[1])
+        return out
+
+    roots = {"fastbuild", "corpus", "data", "session", "config"}
+    seen, frontier = set(roots), set(roots)
+    while frontier:
+        nxt = set()
+        for m in frontier:
+            nxt |= internal_imports(m)
+        frontier = nxt - seen
+        seen |= nxt
+    assert sorted(seen) == sorted(bench.ENGINE_DIGEST_MODULES), (
+        "build-path import closure drifted — update ENGINE_DIGEST_MODULES "
+        "(this invalidates accumulated .bench_history samples, as it must)"
+    )
