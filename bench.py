@@ -534,6 +534,63 @@ def append_history(
         }) + "\n")
 
 
+def host_busy_jiffies() -> tuple[float, float]:
+    """(busy, total) jiffies across all host CPUs, including
+    hypervisor steal — the direct contention signal."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [float(x) for x in parts[:8]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    return sum(vals) - idle, sum(vals)
+
+
+def scaling_one_run(cpus: int, turns: int, staged: str) -> tuple[float, float, float]:
+    """One scaling sample -> (turns/sec, co_tenant_cores, cpu_seconds).
+
+    THE measurement path: main()'s sampling loop and
+    tools/accumulate_scaling.py both call this, so every history sample
+    is taken identically — a FRESH SUBPROCESS (fresh JVM, BUILD_TUNE GC
+    flags via index_build_throughput, heap/GC threads proportional to
+    the level's core count), no cache/GC state leaking across levels.
+    co_tenant_cores is measured DIRECTLY over the run window from
+    /proc/stat: host-wide busy cores minus this level's own core count
+    — unlike loadavg it cannot confuse our own decaying load
+    contribution with co-tenant steal, and it sees mid-run contention
+    that pre-run gating misses (it still CANNOT see hypervisor-level
+    memory-bandwidth steal from other VMs, which never appears in this
+    guest's /proc/stat — hence the window gating on cpu_sec vs the
+    committed quiet baseline). cpu_seconds is the build's own
+    process-tree CPU over the timed region."""
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');\n"
+        "import bench\n"
+        f"tp, cpu = bench.index_build_throughput({cpus}, "
+        f"{turns}, '{staged}')\n"
+        "print('TP', tp, 'CPU', cpu)\n"
+    )
+    b0, t0 = host_busy_jiffies()
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    b1, t1 = host_busy_jiffies()
+    ncpu = os.cpu_count() or 32
+    busy_cores = (b1 - b0) / max(t1 - t0, 1e-9) * ncpu
+    # own usage <= cpus + ~0.5 (driver/GC helper threads); the
+    # remainder is co-tenant pressure during OUR window
+    co_tenant = max(0.0, busy_cores - (cpus + 0.5))
+    for line in r.stdout.splitlines():
+        if line.startswith("TP "):
+            parts = line.split()
+            return float(parts[1]), co_tenant, float(parts[3])
+    raise RuntimeError(
+        f"scaling run local[{cpus}] failed: {r.stderr[-500:]}"
+    )
+
+
 def best_corroborated(tps: list, tol: float = CORROBORATION_TOL):
     """(best, corroborated): the largest throughput reproduced by a
     second sample within ``tol`` — walking the sorted samples downward,
@@ -617,57 +674,11 @@ def main():
         # (BUILD_TUNE GC flags apply, heap/GC threads proportional to
         # the level's core count), no cache/GC state leaking across
         # levels.
-        import subprocess
-
         staged = stage_transcripts(SCALING_TURNS)
 
-        def _host_busy_jiffies() -> tuple[float, float]:
-            """(busy, total) jiffies across all host CPUs, including
-            hypervisor steal — the direct contention signal."""
-            with open("/proc/stat") as f:
-                parts = f.readline().split()[1:]
-            vals = [float(x) for x in parts[:8]]
-            idle = vals[3] + vals[4]  # idle + iowait
-            return sum(vals) - idle, sum(vals)
-
         def one_run(cpus: int) -> tuple[float, float, float]:
-            """-> (turns/sec, co_tenant_cores, cpu_seconds).
-            co_tenant_cores is measured DIRECTLY over the run window
-            from /proc/stat: host-wide busy cores minus this level's
-            own core count — unlike loadavg it cannot confuse our own
-            decaying load contribution with co-tenant steal, and it
-            sees mid-run contention that pre-run gating misses (it
-            still CANNOT see hypervisor-level memory-bandwidth steal
-            from other VMs, which never appears in this guest's
-            /proc/stat — hence the plateau gating and the CPU-time
-            secondary metric below). cpu_seconds is the build's own
-            process-tree CPU over the timed region."""
-            code = (
-                "import sys; sys.path.insert(0, '/root/repo');\n"
-                "import bench\n"
-                f"tp, cpu = bench.index_build_throughput({cpus}, "
-                f"{SCALING_TURNS}, '{staged}')\n"
-                "print('TP', tp, 'CPU', cpu)\n"
-            )
-            b0, t0 = _host_busy_jiffies()
-            r = subprocess.run(
-                [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=1800,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            b1, t1 = _host_busy_jiffies()
-            ncpu = os.cpu_count() or 32
-            busy_cores = (b1 - b0) / max(t1 - t0, 1e-9) * ncpu
-            # own usage <= cpus + ~0.5 (driver/GC helper threads); the
-            # remainder is co-tenant pressure during OUR window
-            co_tenant = max(0.0, busy_cores - (cpus + 0.5))
-            for line in r.stdout.splitlines():
-                if line.startswith("TP "):
-                    parts = line.split()
-                    return float(parts[1]), co_tenant, float(parts[3])
-            raise RuntimeError(
-                f"scaling run local[{cpus}] failed: {r.stderr[-500:]}"
-            )
+            # the shared measurement path — see scaling_one_run
+            return scaling_one_run(cpus, SCALING_TURNS, staged)
 
         def wait_for_quiet(attempts: int = 3, sleep_s: float = 20.0) -> float:
             """/proc/loadavg on this host is HOST-WIDE (co-tenant CPU

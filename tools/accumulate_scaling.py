@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Opportunistic scaling-sample accumulator.
+
+The north rule's two-level scaling artifact is only as good as the
+host-weather window it was measured in, and this shared box spends
+whole hours with every sample uniformly depressed by hypervisor
+memory-bandwidth steal (BASELINE.md "host weather"). bench.py already
+pools samples from a durable history keyed by the engine digest; this
+tool's job is to FILL that history with clean samples by watching for
+quiet windows across a long span and only spending full build samples
+when a window looks clean.
+
+How it watches: a cheap (~0.5 s) single-thread memory-bandwidth probe
+— time N sum-passes over an 800 MB array. Bandwidth steal is exactly
+what slows it, and the probe self-calibrates by ratcheting a rolling
+minimum (persisted in .bench_history/probe.json), so no absolute
+calibration is needed: "probe within PROBE_TOL of the best ever seen"
+means the memory subsystem is as quiet as this host gets.
+
+Sampling burst: a cheap wide (local[4]) sample first — its cpu_sec vs
+the committed quiet baseline is the authoritative clean/stolen verdict
+(same rule bench.py elects with). Only if that lands clean does the
+expensive narrow (local[1]) sample run. Burst aborts the moment a
+sample comes back stolen. Every sample, clean or stolen, is appended
+to the same history bench.py pools, via the same scaling_one_run
+measurement path (fresh subprocess, fresh JVM, /proc/stat co-tenant
+metering) — nothing here measures differently from the driver's run.
+
+Exit 0 the moment BOTH levels hold a clean corroborated best (the
+driver's next bench invocation then elects a clean pair regardless of
+its own window), or at the ACCUM_BUDGET_SEC deadline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+NARROW, WIDE = 1, 4
+PROBE_TOL = float(os.environ.get("ACCUM_PROBE_TOL", "1.10"))
+SLEEP_SEC = float(os.environ.get("ACCUM_SLEEP_SEC", "120"))
+BUDGET_SEC = float(os.environ.get("ACCUM_BUDGET_SEC", str(4 * 3600)))
+#: even in endless bad weather, take one wide sample this often — the
+#: build's own cpu_sec is the authoritative window verdict and
+#: recalibrates the probe's notion of "stolen" against ground truth
+FORCE_SAMPLE_EVERY = float(os.environ.get("ACCUM_FORCE_EVERY", "2400"))
+PROBE_STATE = os.path.join(os.path.dirname(bench.HISTORY_PATH), "probe.json")
+
+_probe_buf = None
+
+
+def mem_probe() -> float:
+    """Seconds for 3 sum-passes over 800 MB — lower is quieter."""
+    global _probe_buf
+    import numpy as np
+
+    if _probe_buf is None:
+        _probe_buf = np.ones(100_000_000, dtype=np.float64)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _probe_buf.sum()
+    return time.perf_counter() - t0
+
+
+def load_min_probe() -> float | None:
+    try:
+        with open(PROBE_STATE) as f:
+            return float(json.load(f)["min_probe"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def save_min_probe(v: float) -> None:
+    os.makedirs(os.path.dirname(PROBE_STATE), exist_ok=True)
+    with open(PROBE_STATE, "w") as f:
+        json.dump({"min_probe": round(v, 4), "ts": int(time.time())}, f)
+
+
+def level_stats(key: str) -> dict[int, dict]:
+    hist = bench.load_history(key, bench.SCALING_TURNS)
+    base = bench.QUIET_CPU_BASELINE.get(bench.SCALING_TURNS, {})
+    return {
+        n: bench.choose_level_stat(hist.get(n, []), base.get(n))
+        for n in (NARROW, WIDE)
+    }
+
+
+def done(stats: dict[int, dict]) -> bool:
+    return all(
+        st["corroborated"] and not st["window_stolen"]
+        for st in stats.values()
+    )
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main() -> int:
+    key = bench._engine_digest()
+    base = bench.QUIET_CPU_BASELINE.get(bench.SCALING_TURNS, {})
+    staged = bench.stage_transcripts(bench.SCALING_TURNS)
+    deadline = time.monotonic() + BUDGET_SEC
+    min_probe = load_min_probe()
+    last_forced = time.monotonic()
+    log(f"accumulator up: digest={key} turns={bench.SCALING_TURNS} "
+        f"budget={BUDGET_SEC:.0f}s staged={staged}")
+
+    def is_clean(level: int, cpu: float) -> bool:
+        b = base.get(level)
+        return b is not None and cpu <= bench.WINDOW_STOLEN_FACTOR * b
+
+    def take(level: int) -> tuple[bool, float]:
+        """One sample at `level`; append to history; -> (clean, cpu)."""
+        tp, co, cpu = bench.scaling_one_run(
+            level, bench.SCALING_TURNS, staged
+        )
+        bench.append_history(key, bench.SCALING_TURNS, level, tp, cpu, co)
+        clean = is_clean(level, cpu)
+        log(f"  sample local[{level}]: tp={tp:.0f} cpu={cpu:.1f}s "
+            f"cotenant={co:.2f} -> {'CLEAN' if clean else 'stolen'}")
+        return clean, cpu
+
+    while time.monotonic() < deadline:
+        stats = level_stats(key)
+        if done(stats):
+            eff = stats[WIDE]["best"] / (4.0 * stats[NARROW]["best"])
+            log(f"DONE: clean corroborated pair in history, "
+                f"efficiency={eff:.3f} "
+                f"(narrow={stats[NARROW]['best']:.0f}, "
+                f"wide={stats[WIDE]['best']:.0f})")
+            return 0
+
+        p = mem_probe()
+        if min_probe is None or p < min_probe:
+            min_probe = p
+            save_min_probe(min_probe)
+        quiet_probe = p <= PROBE_TOL * min_probe
+        force = time.monotonic() - last_forced > FORCE_SAMPLE_EVERY
+        log(f"probe={p:.3f}s (min={min_probe:.3f}) "
+            f"{'quiet' if quiet_probe else 'noisy'}"
+            f"{' [forced]' if force and not quiet_probe else ''} "
+            f"clean n/t: narrow={stats[NARROW]['n_clean']}/"
+            f"{stats[NARROW]['n_total']} wide={stats[WIDE]['n_clean']}/"
+            f"{stats[WIDE]['n_total']}")
+        if not (quiet_probe or force):
+            time.sleep(SLEEP_SEC)
+            continue
+
+        last_forced = time.monotonic()
+        try:
+            # cheap wide sample first: its cpu_sec is the real verdict
+            clean, _ = take(WIDE)
+            while clean and time.monotonic() < deadline:
+                stats = level_stats(key)
+                if done(stats):
+                    break
+                # spend the quiet window on whichever level still needs
+                # clean corroboration, narrow (the expensive one) first
+                nxt = next(
+                    (n for n in (NARROW, WIDE)
+                     if not (stats[n]["corroborated"]
+                             and not stats[n]["window_stolen"])),
+                    None,
+                )
+                if nxt is None:
+                    break
+                clean, _ = take(nxt)
+        except RuntimeError as exc:
+            log(f"  sample failed: {exc}")
+        time.sleep(5)
+
+    stats = level_stats(key)
+    log(f"budget exhausted; final clean n/t: "
+        f"narrow={stats[NARROW]['n_clean']}/{stats[NARROW]['n_total']} "
+        f"wide={stats[WIDE]['n_clean']}/{stats[WIDE]['n_total']}")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
