@@ -91,10 +91,22 @@ def level_stats(key: str) -> dict[int, dict]:
     }
 
 
+def _level_ok(st: dict) -> bool:
+    return st["corroborated"] and not st["window_stolen"]
+
+
 def done(stats: dict[int, dict]) -> bool:
-    return all(
-        st["corroborated"] and not st["window_stolen"]
-        for st in stats.values()
+    return all(_level_ok(st) for st in stats.values())
+
+
+def next_needed_level(stats: dict[int, dict]) -> int | None:
+    """Which level to spend the current quiet window on: the narrow
+    (expensive, ~3x the wide's wall clock) level first while it still
+    lacks a clean corroborated best — quiet windows are scarce and the
+    narrow samples are the ones a later noisy window cannot cheaply
+    replace. None when both levels are settled."""
+    return next(
+        (n for n in (NARROW, WIDE) if not _level_ok(stats[n])), None
     )
 
 
@@ -161,14 +173,7 @@ def main() -> int:
                 stats = level_stats(key)
                 if done(stats):
                     break
-                # spend the quiet window on whichever level still needs
-                # clean corroboration, narrow (the expensive one) first
-                nxt = next(
-                    (n for n in (NARROW, WIDE)
-                     if not (stats[n]["corroborated"]
-                             and not stats[n]["window_stolen"])),
-                    None,
-                )
+                nxt = next_needed_level(stats)
                 if nxt is None:
                     break
                 clean, _ = take(nxt)
