@@ -44,6 +44,16 @@ import bench  # noqa: E402
 
 NARROW, WIDE = 1, 4
 PROBE_TOL = float(os.environ.get("ACCUM_PROBE_TOL", "1.10"))
+#: a window that just produced a STOLEN sample defines a probe level
+#: that is known-dirty; "quiet" must read meaningfully below it, not
+#: merely match the best-so-far (which may itself have been measured
+#: inside a stolen window — the min ratchets down across hours, but
+#: until a clean sample exists it proves nothing)
+STOLEN_PROBE_MARGIN = float(os.environ.get("ACCUM_STOLEN_MARGIN", "0.80"))
+#: guest-local busyness gate: our own test runs / builds inflate the
+#: sample's cpu_sec exactly like co-tenant steal would — don't spend
+#: samples while this guest is busy with something else
+LOAD_GATE = float(os.environ.get("ACCUM_LOAD_GATE", "2.0"))
 SLEEP_SEC = float(os.environ.get("ACCUM_SLEEP_SEC", "120"))
 BUDGET_SEC = float(os.environ.get("ACCUM_BUDGET_SEC", str(4 * 3600)))
 #: even in endless bad weather, take one wide sample this often — the
@@ -120,6 +130,11 @@ def main() -> int:
     staged = bench.stage_transcripts(bench.SCALING_TURNS)
     deadline = time.monotonic() + BUDGET_SEC
     min_probe = load_min_probe()
+    #: min probe reading taken immediately before a sample that came
+    #: back stolen — the known-dirty probe level (session-local: the
+    #: host's quiet-vs-stolen probe spread is stable, its absolute
+    #: level drifts)
+    stolen_probe: float | None = None
     last_forced = time.monotonic()
     log(f"accumulator up: digest={key} turns={bench.SCALING_TURNS} "
         f"budget={BUDGET_SEC:.0f}s staged={staged}")
@@ -153,9 +168,19 @@ def main() -> int:
         if min_probe is None or p < min_probe:
             min_probe = p
             save_min_probe(min_probe)
-        quiet_probe = p <= PROBE_TOL * min_probe
+        load = os.getloadavg()[0]
+        quiet_probe = (
+            p <= PROBE_TOL * min_probe
+            # a probe level that previously preceded a stolen verdict
+            # is known-dirty: require meaningful improvement below it
+            and (stolen_probe is None or p < STOLEN_PROBE_MARGIN * stolen_probe)
+            # and this guest itself must be idle — our own concurrent
+            # work inflates cpu_sec exactly like co-tenant steal
+            and load < LOAD_GATE
+        )
         force = time.monotonic() - last_forced > FORCE_SAMPLE_EVERY
-        log(f"probe={p:.3f}s (min={min_probe:.3f}) "
+        log(f"probe={p:.3f}s (min={min_probe:.3f}, "
+            f"stolen@{stolen_probe if stolen_probe else '-'}) load={load:.1f} "
             f"{'quiet' if quiet_probe else 'noisy'}"
             f"{' [forced]' if force and not quiet_probe else ''} "
             f"clean n/t: narrow={stats[NARROW]['n_clean']}/"
@@ -169,6 +194,10 @@ def main() -> int:
         try:
             # cheap wide sample first: its cpu_sec is the real verdict
             clean, _ = take(WIDE)
+            if not clean:
+                stolen_probe = round(
+                    min(stolen_probe, p) if stolen_probe else p, 3
+                )
             while clean and time.monotonic() < deadline:
                 stats = level_stats(key)
                 if done(stats):
@@ -179,7 +208,9 @@ def main() -> int:
                 clean, _ = take(nxt)
         except RuntimeError as exc:
             log(f"  sample failed: {exc}")
-        time.sleep(5)
+        # whether the burst ended clean (levels settled) or stolen, the
+        # window has told us what it is — step back before re-probing
+        time.sleep(SLEEP_SEC if not clean else 5)
 
     stats = level_stats(key)
     log(f"budget exhausted; final clean n/t: "
