@@ -178,7 +178,13 @@ def main() -> int:
             # work inflates cpu_sec exactly like co-tenant steal
             and load < LOAD_GATE
         )
-        force = time.monotonic() - last_forced > FORCE_SAMPLE_EVERY
+        # a forced sample still respects the guest-load gate: sampling
+        # under our own concurrent work is wasted AND would record a
+        # guest-load-dirty probe level as host-stolen
+        force = (
+            time.monotonic() - last_forced > FORCE_SAMPLE_EVERY
+            and load < LOAD_GATE
+        )
         log(f"probe={p:.3f}s (min={min_probe:.3f}, "
             f"stolen@{stolen_probe if stolen_probe else '-'}) load={load:.1f} "
             f"{'quiet' if quiet_probe else 'noisy'}"
