@@ -94,3 +94,69 @@ def test_polynomial_hash_exact():
     base = 1_000_003
     exp = sum(int(c) * pow(base, i, MOD) for i, c in enumerate(codes)) % MOD
     assert polynomial_hash_codes(codes, base) == exp
+
+
+# -- vectorized batch fingerprint == scalar rolling hash ----------------------
+#
+# textops._fingerprint_udf hashes a WHOLE Arrow batch in one vectorized
+# pass (concatenated codepoint buffer + np.add.reduceat segment sums);
+# the gate checks it end-to-end against the oracle, but the property
+# worth pinning directly is bit-identity with the scalar per-document
+# hash over every adversarial BATCH shape the concatenation/reduceat
+# layout can get wrong: empty batch, all-empty docs, empty docs in the
+# middle and (the reduceat sentinel case) at the END of the batch,
+# nulls, astral-plane codepoints, and docs of wildly mixed lengths.
+
+
+def _scalar_fp(t: str) -> int:
+    codes = np.frombuffer((t or "").encode("utf-32le"), dtype=np.uint32)
+    return polynomial_hash_codes(codes.astype(np.uint64))
+
+
+def _vec_fp(texts):
+    import pandas as pd
+
+    from flame_spark.textops import _fingerprint_udf
+
+    # .func = the raw batch kernel under the @pandas_udf wrapper
+    kernel = _fingerprint_udf.func
+    return [int(v) for v in kernel(pd.Series(texts, dtype=object))]
+
+
+def test_fingerprint_vectorized_adversarial_shapes():
+    batches = [
+        [],
+        [""],
+        ["", "", ""],
+        ["a"],
+        ["abc", "", "def"],          # empty in the middle
+        ["abc", "def", ""],          # trailing empty (reduceat sentinel)
+        ["", "abc"],                 # leading empty
+        [None, "abc", None],         # nulls -> empty-doc hash 0
+        ["\U0001F600\U00010348", "x" * 5000, "é"],  # astral + long + BMP
+        ["x" * 1, "y" * 997, "z" * 13, ""],
+    ]
+    for texts in batches:
+        got = _vec_fp(texts)
+        want = [_scalar_fp(t) for t in texts]
+        assert got == want, texts
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=0, max_codepoint=0x10FFFF,
+                    blacklist_categories=("Cs",),  # no lone surrogates
+                ),
+                max_size=64,
+            ),
+        ),
+        max_size=16,
+    )
+)
+def test_fingerprint_vectorized_matches_scalar(texts):
+    assert _vec_fp(texts) == [_scalar_fp(t) for t in texts]
