@@ -54,6 +54,21 @@ def load_embeddings(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_ids_filter(df: DataFrame, query_vec_ids: list) -> DataFrame:
+    """Select the query rows by vec_id — bounded like the batch-serve
+    term filter (wand._batch_term_filter): a literal In up to the
+    shared cutoff (pushed into the scan), a broadcast LEFT SEMI join
+    above it so a many-thousand-query batch doesn't compile a
+    giant In expression into every job that reuses the plan."""
+    from .wand import TERM_FILTER_CUTOFF
+
+    vals = [int(i) for i in query_vec_ids]
+    if len(vals) <= TERM_FILTER_CUTOFF:
+        return df.filter(F.col("vec_id").isin(vals))
+    ids_df = df.sparkSession.createDataFrame([(v,) for v in vals], "vec_id long")
+    return df.join(F.broadcast(ids_df), "vec_id", "leftsemi")
+
+
 def cosine_topk_bruteforce(
     emb: DataFrame, query_vec_ids: list[int], k: int = 5
 ) -> DataFrame:
@@ -61,7 +76,7 @@ def cosine_topk_bruteforce(
 
     Broadcast the query rows; one wide pass over all vectors; window
     top-k with (score desc, vec_id asc) tie-break."""
-    q = emb.filter(F.col("vec_id").isin([int(i) for i in query_vec_ids])).select(
+    q = _query_ids_filter(emb, query_vec_ids).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
     joined = emb.crossJoin(F.broadcast(q)).where(
@@ -150,9 +165,7 @@ def cosine_topk_ivf(
     centroids = _kmeans(sample, n_clusters, seed=seed)
 
     assigned = ivf_assignments(emb, centroids).persist()
-    qrows = assigned.filter(
-        F.col("vec_id").isin([int(i) for i in query_vec_ids])
-    ).collect()
+    qrows = _query_ids_filter(assigned, query_vec_ids).collect()
     probes = []
     for r in qrows:
         qv = np.asarray(r["vec"], dtype=np.float64)
@@ -473,7 +486,7 @@ def cosine_topk_lsh(
     exact cosine. Approximate — validated for recall against
     ``cosine_topk_bruteforce`` in tests."""
     sigs = lsh_signatures(emb, n_planes, seed).persist()
-    q = sigs.filter(F.col("vec_id").isin([int(i) for i in query_vec_ids])).select(
+    q = _query_ids_filter(sigs, query_vec_ids).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("bucket").alias("qbucket"),
