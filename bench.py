@@ -604,6 +604,21 @@ def best_corroborated(tps: list, tol: float = CORROBORATION_TOL):
     return (s[0], False) if s else (None, False)
 
 
+def is_clean_sample(baseline_cpu: float | None, cpu_sec: float) -> bool:
+    """THE clean/stolen rule, single source: a sample is window-clean
+    when its own process-tree CPU is within WINDOW_STOLEN_FACTOR of
+    the committed quiet baseline. Shared by election
+    (choose_level_stat) and the accumulator's burst-abort verdict
+    (tools/accumulate_scaling.py) so the two can never disagree about
+    what a clean sample is. No baseline -> not classifiable as clean
+    (callers that want the ungated legacy behavior branch on
+    baseline_cpu themselves)."""
+    return (
+        baseline_cpu is not None
+        and cpu_sec <= WINDOW_STOLEN_FACTOR * baseline_cpu
+    )
+
+
 def choose_level_stat(samples: list, baseline_cpu: float | None) -> dict:
     """Elect one level's reported throughput from pooled (tp, cpu_sec,
     cotenant) samples. Clean samples (cpu_sec within the stolen factor
@@ -611,8 +626,7 @@ def choose_level_stat(samples: list, baseline_cpu: float | None) -> dict:
     are still disclosed but can only be elected when NO clean sample
     exists — in which case the level is flagged window_stolen."""
     if baseline_cpu is not None:
-        cutoff = WINDOW_STOLEN_FACTOR * baseline_cpu
-        clean = [s for s in samples if s[1] <= cutoff]
+        clean = [s for s in samples if is_clean_sample(baseline_cpu, s[1])]
     else:
         clean = list(samples)  # no committed baseline: no window gate
     pool = clean if clean else samples

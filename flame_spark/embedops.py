@@ -55,18 +55,13 @@ def load_embeddings(spark, sf_dir: str) -> DataFrame:
 
 
 def _query_ids_filter(df: DataFrame, query_vec_ids: list) -> DataFrame:
-    """Select the query rows by vec_id — bounded like the batch-serve
-    term filter (wand._batch_term_filter): a literal In up to the
-    shared cutoff (pushed into the scan), a broadcast LEFT SEMI join
-    above it so a many-thousand-query batch doesn't compile a
-    giant In expression into every job that reuses the plan."""
-    from .wand import TERM_FILTER_CUTOFF
+    """Select the query rows by vec_id — the shared bounded-In
+    strategy (literal In up to the cutoff, broadcast left-semi above
+    it), so a many-thousand-query ANN batch doesn't compile a giant In
+    expression into every job that reuses the plan."""
+    from .wand import bounded_in_filter
 
-    vals = [int(i) for i in query_vec_ids]
-    if len(vals) <= TERM_FILTER_CUTOFF:
-        return df.filter(F.col("vec_id").isin(vals))
-    ids_df = df.sparkSession.createDataFrame([(v,) for v in vals], "vec_id long")
-    return df.join(F.broadcast(ids_df), "vec_id", "leftsemi")
+    return bounded_in_filter(df, "vec_id", query_vec_ids)
 
 
 def cosine_topk_bruteforce(

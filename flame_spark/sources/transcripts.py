@@ -139,10 +139,15 @@ def _validated(
         return raw.filter(keep), MalformedStats(None)
     # drop mode: the observe node sits ABOVE the scan but BELOW the
     # filter (Catalyst does not push filters through CollectMetrics),
-    # so dropped rows are counted in the caller's own job
-    obs = Observation(f"read_transcripts_{fmt}")
+    # so dropped rows are counted in the caller's own job.
+    # - anonymous Observation: names must be unique per query, and a
+    #   caller unioning two drop-mode reads of the same format would
+    #   hit DUPLICATED_METRICS_NAME with any fixed name;
+    # - count(when(...)), not sum(cast): SUM over zero rows is SQL
+    #   NULL, which would make n_bad crash on an empty export
+    obs = Observation()
     observed = raw.observe(
-        obs, F.sum(bad_pred.cast("long")).alias("n_bad")
+        obs, F.count(F.when(bad_pred, F.lit(1))).alias("n_bad")
     )
     return observed.filter(~bad_pred), MalformedStats(obs)
 

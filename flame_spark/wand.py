@@ -284,25 +284,29 @@ def wand_topk_serve(
     ]
 
 
-def _batch_term_filter(segments_sharded: DataFrame, all_terms: list) -> DataFrame:
-    """Scan filter for the batch-serve union-of-terms set.
+def bounded_in_filter(df: DataFrame, col: str, values: list) -> DataFrame:
+    """Filter ``df`` to rows whose long column ``col`` is in ``values``
+    — bounded: at or below TERM_FILTER_CUTOFF values a literal In
+    filter (pushed into the scan, where per-batch min/max stats prune
+    cached/columnar batches); above it a broadcast LEFT SEMI join on a
+    values DataFrame (one hash probe per row), because an In
+    expression with 100k+ literals costs Catalyst a 100k-literal tree
+    to analyze and codegen per job. Trade-off: the semi-join does not
+    prune cached batches the way the In filter does, but a value set
+    that wide touches most batches anyway. Shared by the batch-serve
+    term filter and the ANN query-id filters (embedops) so the
+    strategy is tuned in exactly one place."""
+    vals = [int(v) for v in values]
+    if len(vals) <= TERM_FILTER_CUTOFF:
+        return df.where(F.col(col).isin(vals))
+    vdf = df.sparkSession.createDataFrame([(v,) for v in vals], f"{col} long")
+    return df.join(F.broadcast(vdf), col, "leftsemi")
 
-    At or below TERM_FILTER_CUTOFF terms: a literal In filter — pushed
-    into the in-memory columnar scan, where per-batch min/max stats
-    prune the term-sorted cache to only the batches holding these
-    terms. Above it: a 10k-query batch can union to 100k+ distinct
-    terms, and an In expression that size costs Catalyst a
-    100k-literal tree to analyze and codegen per job — switch to a
-    broadcast LEFT SEMI join on a terms DataFrame (one hash probe per
-    segment row). Trade-off: the semi-join does not prune cached
-    batches the way the In filter does, but a batch that wide touches
-    most batches anyway."""
-    if len(all_terms) <= TERM_FILTER_CUTOFF:
-        return segments_sharded.where(F.col("term").isin(all_terms))
-    terms_df = segments_sharded.sparkSession.createDataFrame(
-        [(int(t),) for t in all_terms], "term long"
-    )
-    return segments_sharded.join(F.broadcast(terms_df), "term", "leftsemi")
+
+def _batch_term_filter(segments_sharded: DataFrame, all_terms: list) -> DataFrame:
+    """Scan filter for the batch-serve union-of-terms set: a 10k-query
+    batch can union to 100k+ distinct terms — see bounded_in_filter."""
+    return bounded_in_filter(segments_sharded, "term", all_terms)
 
 
 def wand_topk_serve_batch(

@@ -187,3 +187,31 @@ def test_jsonl_build_equals_parquet_build(spark, staged, tmp_path):
     b = IncrementalIndexer(str(tmp_path / "wb"), CFG)
     b.initial_build(read_transcripts(spark, str(staged / "jl"), "jsonl"))
     assert seg_map(a.merge_segments(spark)) == seg_map(b.merge_segments(spark))
+
+
+def test_two_drop_mode_reads_compose_in_one_query(spark, staged, tmp_path):
+    """Observation names must be unique per query: a caller unioning
+    two drop-mode reads of the same format (routine multi-source
+    ingest) must not hit DUPLICATED_METRICS_NAME."""
+    a, sa = read_transcripts_with_stats(
+        spark, str(staged / "jl"), "jsonl", on_malformed="drop"
+    )
+    b, sb = read_transcripts_with_stats(
+        spark, str(staged / "jl"), "jsonl", on_malformed="drop"
+    )
+    u = a.unionByName(b)
+    assert u.count() == 2 * read_transcripts(spark, str(staged / "jl"), "jsonl").count()
+    assert sa.n_bad == 0 and sb.n_bad == 0
+
+
+def test_drop_mode_empty_source_counts_zero(spark, tmp_path):
+    """SUM over zero rows is SQL NULL — n_bad on an empty export (an
+    empty day of logs) must be 0, not a TypeError."""
+    d = str(tmp_path / "empty_jl")
+    os.makedirs(d)
+    open(os.path.join(d, "part-0.jsonl"), "w").close()  # zero-row file
+    df, stats = read_transcripts_with_stats(
+        spark, d, "jsonl", on_malformed="drop"
+    )
+    assert df.count() == 0
+    assert stats.n_bad == 0

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -139,17 +140,15 @@ def main() -> int:
     log(f"accumulator up: digest={key} turns={bench.SCALING_TURNS} "
         f"budget={BUDGET_SEC:.0f}s staged={staged}")
 
-    def is_clean(level: int, cpu: float) -> bool:
-        b = base.get(level)
-        return b is not None and cpu <= bench.WINDOW_STOLEN_FACTOR * b
-
     def take(level: int) -> tuple[bool, float]:
         """One sample at `level`; append to history; -> (clean, cpu)."""
         tp, co, cpu = bench.scaling_one_run(
             level, bench.SCALING_TURNS, staged
         )
         bench.append_history(key, bench.SCALING_TURNS, level, tp, cpu, co)
-        clean = is_clean(level, cpu)
+        # the SAME rule election applies (bench.is_clean_sample) — the
+        # burst-abort verdict and choose_level_stat can never disagree
+        clean = bench.is_clean_sample(base.get(level), cpu)
         log(f"  sample local[{level}]: tp={tp:.0f} cpu={cpu:.1f}s "
             f"cotenant={co:.2f} -> {'CLEAN' if clean else 'stolen'}")
         return clean, cpu
@@ -197,13 +196,10 @@ def main() -> int:
             continue
 
         last_forced = time.monotonic()
+        clean, failed = False, False
         try:
             # cheap wide sample first: its cpu_sec is the real verdict
             clean, _ = take(WIDE)
-            if not clean:
-                stolen_probe = round(
-                    min(stolen_probe, p) if stolen_probe else p, 3
-                )
             while clean and time.monotonic() < deadline:
                 stats = level_stats(key)
                 if done(stats):
@@ -212,8 +208,21 @@ def main() -> int:
                 if nxt is None:
                     break
                 clean, _ = take(nxt)
-        except RuntimeError as exc:
+        except (RuntimeError, subprocess.SubprocessError) as exc:
+            # RuntimeError: the child printed no TP line (crash/OOM);
+            # SubprocessError covers TimeoutExpired from the 1800s cap
+            # — a severely stolen window stretching the build past it
+            # is exactly the weather this tool must ride out, not die on
             log(f"  sample failed: {exc}")
+            failed = True
+        if not clean and not failed:
+            # ANY stolen verdict in the burst (first wide probe OR a
+            # mid-burst sample after the window turned) marks the probe
+            # level that admitted it as known-dirty; a crashed sample
+            # says nothing about the window, so it does not calibrate
+            stolen_probe = round(
+                min(stolen_probe, p) if stolen_probe else p, 3
+            )
         # whether the burst ended clean (levels settled) or stolen, the
         # window has told us what it is — step back before re-probing
         time.sleep(SLEEP_SEC if not clean else 5)
