@@ -86,3 +86,18 @@ def test_level_stats_reads_benchs_history(tmp_path, monkeypatch):
     assert acc.done(stats) is True
     # a different digest sees nothing
     assert acc.done(acc.level_stats("other")) is False
+
+
+def test_singleton_lock_excludes_second_instance(tmp_path, monkeypatch):
+    """Two concurrent accumulators pollute each other's samples (their
+    bursts read as co-tenant steal to each other) — the flock singleton
+    must turn the second instance away while the first holds it."""
+    monkeypatch.setattr(acc, "PROBE_STATE", str(tmp_path / "probe.json"))
+    first = acc.acquire_singleton()
+    assert first is not None
+    # flock contends across independent fds even within one process
+    assert acc.acquire_singleton() is None
+    first.close()  # releasing the fd releases the lock
+    second = acc.acquire_singleton()
+    assert second is not None
+    second.close()

@@ -125,7 +125,32 @@ def log(msg: str) -> None:
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def acquire_singleton() -> "object | None":
+    """Hold an exclusive flock for the process lifetime, or None if
+    another accumulator already holds it. Two concurrent accumulators
+    are worse than one: each's build bursts inflate the other's
+    cpu_sec exactly like co-tenant steal (the guest-load gate only
+    helps when the bursts don't START simultaneously), and both then
+    record the window as stolen."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(PROBE_STATE), exist_ok=True)
+    f = open(os.path.join(os.path.dirname(PROBE_STATE), "accumulator.lock"), "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        f.close()
+        return None
+    f.write(f"{os.getpid()}\n")
+    f.flush()
+    return f
+
+
 def main() -> int:
+    lock = acquire_singleton()
+    if lock is None:
+        log("another accumulator instance holds the lock; exiting")
+        return 2
     key = bench._engine_digest()
     base = bench.QUIET_CPU_BASELINE.get(bench.SCALING_TURNS, {})
     staged = bench.stage_transcripts(bench.SCALING_TURNS)
