@@ -1918,6 +1918,188 @@ def q_bpe_tokens(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-set curation: decontamination, repetition filter, PII
+# redaction, deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: eval set = doc_id % 43 == 0 (deterministic stand-in for a benchmark
+#: suite); threshold calibrated so the sf0.01 corpus yields BOTH flag
+#: values (overlap_frac median 0.022, q75 0.037, max 0.989)
+DECON_EVAL_MOD = 43
+DECON_THRESHOLD = 0.05
+#: repetition thresholds likewise straddle the corpus distribution
+#: (top2 median 0.033 / max 0.167; dup3 mostly 0 / max 0.143)
+REP_TOP2_THRESHOLD = 0.06
+REP_DUP3_THRESHOLD = 0.05
+#: parts-per-1000 keep rates by the corpus lang column (domain mixing)
+STRATA_RATES = {"en": 800, "de": 600, "fr": 500, "es": 400, "zh": 250}
+STRATA_DEFAULT_RATE = 100
+STRATA_DENOM = 1000
+
+
+def q_decontaminate(spark, sf_dir):
+    from .textops import decontamination
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    out = decontamination(tr, ev, n=3, threshold=DECON_THRESHOLD)
+    return out.select(
+        "doc_id", "n_shingles", "n_overlap", "overlap_frac",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, tk[s] || ' ' || tk[s+1] || ' ' || tk[s+2] AS shingle
+       FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(s)
+       WHERE len(tk) >= 3),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+agg AS (SELECT tr.doc_id, count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_overlap
+        FROM tr LEFT JOIN ev USING (shingle) GROUP BY tr.doc_id)
+SELECT d.doc_id, coalesce(n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(n_overlap, 0)::BIGINT AS n_overlap,
+       round(CASE WHEN coalesce(n_shingles, 0) > 0
+                  THEN n_overlap / n_shingles::DOUBLE ELSE 0.0 END, 6)
+         AS overlap_frac,
+       (CASE WHEN coalesce(n_shingles, 0) > 0
+                  AND n_overlap / n_shingles::DOUBLE >= {DECON_THRESHOLD}
+             THEN 1 ELSE 0 END)::BIGINT AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0) d
+LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
+def q_repetition(spark, sf_dir):
+    from .textops import repetition_scores
+
+    out = repetition_scores(
+        _docs(spark, sf_dir),
+        top2_threshold=REP_TOP2_THRESHOLD,
+        dup3_threshold=REP_DUP3_THRESHOLD,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "uniq_token_ratio", "top2gram_frac", "dup3gram_frac",
+        F.col("repetitive").cast("long").alias("repetitive"),
+    )
+
+
+SQL_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+base AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+                len(list_distinct(tk))::BIGINT AS n_distinct FROM toks),
+g2 AS (SELECT doc_id, tk[s] || ' ' || tk[s+1] AS g
+       FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS u(s)
+       WHERE len(tk) >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+a2 AS (SELECT doc_id, sum(c) AS t2, max(c) AS m2 FROM c2 GROUP BY 1),
+g3 AS (SELECT doc_id, tk[s] || ' ' || tk[s+1] || ' ' || tk[s+2] AS g
+       FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(s)
+       WHERE len(tk) >= 3),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+a3 AS (SELECT doc_id, sum(c) AS t3,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS d3 FROM c3 GROUP BY 1)
+SELECT b.doc_id, b.n_tokens,
+  round(CASE WHEN b.n_tokens > 0 THEN b.n_distinct / b.n_tokens::DOUBLE
+             ELSE 0.0 END, 6) AS uniq_token_ratio,
+  round(CASE WHEN coalesce(t2, 0) > 0 THEN m2 / t2::DOUBLE ELSE 0.0 END, 6)
+    AS top2gram_frac,
+  round(CASE WHEN coalesce(t3, 0) > 0 THEN d3 / t3::DOUBLE ELSE 0.0 END, 6)
+    AS dup3gram_frac,
+  (CASE WHEN (CASE WHEN coalesce(t2, 0) > 0 THEN m2 / t2::DOUBLE ELSE 0.0 END)
+               > {REP_TOP2_THRESHOLD}
+          OR (CASE WHEN coalesce(t3, 0) > 0 THEN d3 / t3::DOUBLE ELSE 0.0 END)
+               > {REP_DUP3_THRESHOLD}
+        THEN 1 ELSE 0 END)::BIGINT AS repetitive
+FROM base b LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+"""
+
+
+def _pii_synth_col():
+    """Deterministic synthetic PII appended to each doc (the corpus
+    itself contains none, and the testdata is read-only): one email,
+    one IPv4, one phone per doc, plus a second email on every 4th doc
+    so the counts aren't constant."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"), d.cast("string"), F.lit("@example.com at 10."),
+        (d % 256).cast("string"), F.lit(".0.1 tel 555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.when(d % 4 == 0, F.lit(" cc bob.smith+x@test.org")).otherwise(F.lit("")),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    from .textops import pii_redact
+
+    docs = _docs(spark, sf_dir).select("doc_id", _pii_synth_col().alias("text"))
+    return pii_redact(docs)
+
+
+def _sql_pii():
+    """The oracle chains the same rules over the same synthesized text;
+    each count is taken on the text as it stood before that rule."""
+    from .textops import PII_RULES
+
+    synth = (
+        "text || ' contact u' || doc_id::VARCHAR || '@example.com at 10.'"
+        " || (doc_id % 256)::VARCHAR || '.0.1 tel 555-'"
+        " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' cc bob.smith+x@test.org'"
+        " ELSE '' END"
+    )
+    cur, cols = synth, []
+    for name, pat, repl in PII_RULES:
+        p = pat.replace("'", "''")
+        cols.append(f"len(regexp_extract_all({cur}, '{p}'))::BIGINT AS n_{name}")
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    return f"SELECT doc_id, {', '.join(cols)}, {cur} AS redacted FROM documents"
+
+
+SQL_PII_REDACT = _sql_pii()
+
+
+def q_stratified_sample(spark, sf_dir):
+    from .textops import stratified_sample
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text", "lang")
+        .repartition(n_parts)
+    )
+    return stratified_sample(
+        docs, STRATA_RATES, STRATA_DEFAULT_RATE, denom=STRATA_DENOM
+    )
+
+
+_STRATA_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items()))
+    + f" ELSE {STRATA_DEFAULT_RATE} END"
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH base AS (SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents),
+fp AS (SELECT doc_id, lang,
+  ('0x' || substring(md5(norm), 1, 8))::BIGINT % {STRATA_DENOM} AS bucket
+  FROM base)
+SELECT doc_id, stratum, bucket, keep_rate FROM (
+  SELECT doc_id, lang AS stratum, bucket,
+         ({_STRATA_CASE_SQL})::BIGINT AS keep_rate
+  FROM fp
+) WHERE bucket < keep_rate
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1950,6 +2132,10 @@ QUERIES = {
     "text_quality": q_quality,
     "text_token_counts": q_token_counts,
     "text_fingerprints": q_fingerprints,
+    "text_decontaminate": q_decontaminate,
+    "text_repetition": q_repetition,
+    "text_pii_redact": q_pii_redact,
+    "text_stratified_sample": q_stratified_sample,
     "ann_cosine_topk": q_ann_bruteforce,
     "events_window5m": q_events_window,
     "stream_events_window5m": q_stream_events_window,
@@ -1997,6 +2183,10 @@ ORACLE_SQL = {
     "text_quality": SQL_QUALITY,
     "text_token_counts": SQL_TOKEN_COUNTS,
     "text_fingerprints": SQL_FINGERPRINTS,
+    "text_decontaminate": SQL_DECONTAMINATE,
+    "text_repetition": SQL_REPETITION,
+    "text_pii_redact": SQL_PII_REDACT,
+    "text_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "events_window5m": SQL_EVENTS_WINDOW,
     # the streaming variant must equal the batch aggregation, so it

@@ -411,3 +411,202 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         _fingerprint_udf(norm_text_col(F.col(text_col))).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-set curation: decontamination, repetition filters, PII
+# redaction, deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _distinct_doc_shingles(docs, n, text_col, keep_empty):
+    """(doc_id, shingle) over DISTINCT word n-grams; with keep_empty a
+    doc shorter than n tokens yields one NULL-shingle row (so it stays
+    countable downstream), else it vanishes."""
+    arr = F.array_distinct(word_ngrams_col(word_tokens_col(F.col(text_col)), n))
+    ex = F.explode_outer(arr) if keep_empty else F.explode(arr)
+    return docs.select("doc_id", ex.alias("shingle"))
+
+
+def decontamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    fraction of its DISTINCT word n-gram shingles that appear anywhere
+    in the evaluation (benchmark) corpus; ``contaminated`` flags docs
+    at or above ``threshold``.
+
+    Scale shape: benchmark suites are MBs while the training corpus is
+    the 100 TB side, so the eval shingle set is aggregated distinct and
+    BROADCAST (default) — the training side then does one map-side
+    probe + one shuffle to its own doc_id aggregation; no all-pairs
+    join anywhere. Set ``broadcast_eval=False`` for a pathological
+    giant eval set to fall back to a shuffle equi-join on the shingle.
+    """
+    ev = (
+        _distinct_doc_shingles(eval_docs, n, text_col, keep_empty=False)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = _distinct_doc_shingles(train, n, text_col, keep_empty=True)
+    agg = (
+        tr.join(ev, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("shingle").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_overlap") / F.col("n_shingles").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(frac, 6).alias("overlap_frac"),
+        (frac >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    top2_threshold: float = 0.06,
+    dup3_threshold: float = 0.05,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - ``top2gram_frac``: occurrence share of the single most frequent
+      word 2-gram (high = the doc loops one phrase),
+    - ``dup3gram_frac``: share of 3-gram occurrences whose 3-gram
+      appears more than once in the doc,
+    - ``uniq_token_ratio``: distinct / total tokens,
+    - ``repetitive``: top2 OR dup3 over its threshold.
+
+    Scale shape: per-size explode -> (doc_id, gram) count -> per-doc
+    aggregate — two shuffles keyed by doc_id with map-side partial
+    aggregation, linear in corpus tokens. The all-JVM array alternative
+    (count each distinct gram via a filter over the gram array) is
+    shuffle-free but O(distinct x total) per doc, which dies on
+    book-length docs; the explode path survives them."""
+    toks = docs.select("doc_id", word_tokens_col(F.col(text_col)).alias("tk"))
+    base = toks.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        "tk",
+    )
+
+    def gram_counts(n):
+        return (
+            base.select(
+                "doc_id", F.explode(word_ngrams_col(F.col("tk"), n)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    a2 = gram_counts(2).groupBy("doc_id").agg(
+        F.sum("c").alias("t2"), F.max("c").alias("m2")
+    )
+    a3 = gram_counts(3).groupBy("doc_id").agg(
+        F.sum("c").alias("t3"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("d3"),
+    )
+    out = base.drop("tk").join(a2, "doc_id", "left").join(a3, "doc_id", "left")
+    top2 = F.when(F.col("t2") > 0, F.col("m2") / F.col("t2").cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    dup3 = F.when(F.col("t3") > 0, F.col("d3") / F.col("t3").cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    uniq = F.when(
+        F.col("n_tokens") > 0,
+        F.col("n_distinct") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(uniq, 6).alias("uniq_token_ratio"),
+        F.round(top2, 6).alias("top2gram_frac"),
+        F.round(dup3, 6).alias("dup3gram_frac"),
+        ((top2 > F.lit(top2_threshold)) | (dup3 > F.lit(dup3_threshold))).alias(
+            "repetitive"
+        ),
+    )
+
+
+#: redaction rules applied IN ORDER (emails before IPv4 before phone:
+#: the placeholders contain no digits, so later rules can't re-match
+#: earlier redactions). Patterns restricted to syntax Java regex and
+#: RE2 (the DuckDB oracle) interpret identically: literal classes,
+#: bounded repeats, ASCII \b.
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}-\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub: redact emails / IPv4 addresses / phone-like numbers
+    with typed placeholders and count each kind. Each count is taken
+    on the text AS IT STOOD before that rule's replacement (the rules
+    chain), all inside one Catalyst projection — whole-stage-codegen,
+    zero Python, trivially parallel at 100 TB."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select("doc_id", *counts, cur.alias("redacted"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    default_rate: int,
+    denom: int = 1000,
+    text_col: str = "text",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic content-hash stratified sampling: keep a document
+    iff ``md5_hash(norm_text) mod denom < rates[stratum]`` (parts per
+    ``denom``). Keyed by CONTENT, not doc_id, so byte-identical
+    duplicates always sample identically (rerun-stable and consistent
+    with dedup decisions); strata come from a column (here the corpus
+    ``lang``), the standard domain-mixing knob for training sets.
+
+    Scale shape: pure per-row filter — no shuffle, no state, and no
+    Python: the bucket hash is the same JVM-side md5-prefix used by
+    MinHash (``shingle_base_hash_col``), so the whole operator is one
+    whole-stage-codegen projection+filter. (The Arrow fingerprint UDF
+    would work too, but Catalyst pushes the keep-filter through the
+    projection and DUPLICATES the UDF — the md5 path is cheap enough
+    that the duplicated evaluation is free, and it never leaves the
+    JVM.) Sampled fraction per stratum converges to rate/denom by md5
+    uniformity."""
+    c = None
+    for k, v in sorted(rates.items()):
+        c = (F.when if c is None else c.when)(F.col(strata_col) == k, F.lit(v))
+    rate = c.otherwise(F.lit(default_rate)) if c is not None else F.lit(default_rate)
+    bucket = shingle_base_hash_col(norm_text_col(F.col(text_col))) % F.lit(denom)
+    return (
+        docs.select(
+            "doc_id",
+            F.col(strata_col).alias("stratum"),
+            bucket.alias("bucket"),
+            rate.cast("long").alias("keep_rate"),
+        )
+        .filter(F.col("bucket") < F.col("keep_rate"))
+    )

@@ -1,0 +1,169 @@
+"""Training-set curation operators: benchmark decontamination,
+repetition (Gopher-style) signals, PII redaction, deterministic
+stratified sampling. Each asserted against hand-computed expectations
+on micro-corpora (the sf0.01 DuckDB gate covers the full-corpus
+differential)."""
+
+import pytest
+
+from flame_spark.textops import (
+    decontamination,
+    pii_redact,
+    repetition_scores,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontamination_hand_computed(spark):
+    # eval doc: shingles {"a b c", "b c d"}
+    ev = _docs(spark, [(100, "a b c d")])
+    tr = _docs(
+        spark,
+        [
+            (1, "a b c x y"),   # shingles: a b c | b c x | c x y -> 1/3 hit
+            (2, "p q r s"),     # p q r | q r s -> 0/2
+            (3, "a b c d e"),   # a b c | b c d | c d e -> 2/3
+            (4, "zz yy"),       # < 3 tokens -> 0 shingles
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontamination(tr, ev, n=3, threshold=0.5).collect()
+    }
+    assert out[1]["n_shingles"] == 3 and out[1]["n_overlap"] == 1
+    assert out[1]["overlap_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert not out[1]["contaminated"]
+    assert out[2]["n_overlap"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_overlap"] == 2
+    assert out[3]["contaminated"]  # 2/3 >= 0.5
+    assert out[4]["n_shingles"] == 0 and out[4]["overlap_frac"] == 0.0
+    assert not out[4]["contaminated"]
+
+
+def test_decontamination_counts_distinct_shingles_once(spark):
+    # "a b a b a b" has shingles a b a (x2), b a b (x2) -> DISTINCT = 2
+    ev = _docs(spark, [(100, "a b a")])
+    tr = _docs(spark, [(1, "a b a b a b")])
+    row = decontamination(tr, ev, n=3, threshold=0.4).collect()[0]
+    assert row["n_shingles"] == 2
+    assert row["n_overlap"] == 1  # only "a b a" is in the eval set
+    assert row["contaminated"]  # 0.5 >= 0.4
+
+
+def test_decontamination_broadcast_off_same_result(spark):
+    ev = _docs(spark, [(100, "a b c d")])
+    tr = _docs(spark, [(1, "a b c x y"), (3, "a b c d e")])
+    a = sorted(map(tuple, decontamination(tr, ev).collect()))
+    b = sorted(
+        map(tuple, decontamination(tr, ev, broadcast_eval=False).collect())
+    )
+    assert a == b
+
+
+def test_repetition_hand_computed(spark):
+    docs = _docs(
+        spark,
+        [
+            # 2-grams: "a a" x5 -> top2 = 1.0; 3-grams "a a a" x4 dup -> 1.0
+            (1, "a a a a a a"),
+            # all distinct tokens: top2 = 1/4, dup3 = 0
+            (2, "v w x y z"),
+            # one token: no 2-grams at all
+            (3, "solo"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_scores(
+            docs, top2_threshold=0.5, dup3_threshold=0.5
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["uniq_token_ratio"] == pytest.approx(1 / 6, abs=1e-6)
+    assert out[1]["top2gram_frac"] == 1.0
+    assert out[1]["dup3gram_frac"] == 1.0
+    assert out[1]["repetitive"]
+    assert out[2]["top2gram_frac"] == 0.25
+    assert out[2]["dup3gram_frac"] == 0.0
+    assert not out[2]["repetitive"]
+    assert out[3]["top2gram_frac"] == 0.0 and out[3]["dup3gram_frac"] == 0.0
+    assert not out[3]["repetitive"]
+
+
+def test_pii_redact_counts_and_text(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail a@b.com and c.d+x@e.org from 10.0.0.1 tel 555-1234 end"),
+            (2, "clean text no pii here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert out[1]["n_email"] == 2
+    assert out[1]["n_ipv4"] == 1
+    assert out[1]["n_phone"] == 1
+    assert (
+        out[1]["redacted"]
+        == "mail [EMAIL] and [EMAIL] from [IP] tel [PHONE] end"
+    )
+    assert out[2]["n_email"] == 0 and out[2]["n_ipv4"] == 0
+    assert out[2]["redacted"] == "clean text no pii here"
+
+
+def test_pii_rule_order_no_cross_matching(spark):
+    # the email's digits must NOT later match as phone/IP fragments,
+    # and the IP must not be half-eaten by the email rule
+    docs = _docs(spark, [(1, "u555-1234@ex.com at 10.1.2.3")])
+    row = pii_redact(docs).collect()[0]
+    assert row["n_email"] == 1 and row["n_ipv4"] == 1 and row["n_phone"] == 0
+    assert row["redacted"] == "[EMAIL] at [IP]"
+
+
+def test_stratified_sample_deterministic_and_content_keyed(spark):
+    rows = [
+        (i, f"document body number {i}", "en" if i % 2 == 0 else "zh")
+        for i in range(40)
+    ]
+    # two EXTRA docs sharing doc 0's exact text, one in each stratum
+    rows += [(1000, "document body number 0", "en"),
+             (1001, "document body number 0", "zh")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rates = {"en": 900, "zh": 100}
+    out = stratified_sample(docs, rates, default_rate=0)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # rerun-stable
+    again = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == set(again)
+    # content-keyed: duplicate text -> same bucket; doc 0 and 1000 share
+    # stratum too, so their keep decision is identical
+    assert (0 in got) == (1000 in got)
+    if 0 in got:
+        assert got[0]["bucket"] == got[1000]["bucket"]
+    # keep_rate column reflects the stratum
+    for r in got.values():
+        assert r["keep_rate"] == rates[r["stratum"]]
+        assert r["bucket"] < r["keep_rate"]
+
+
+def test_stratified_sample_bucket_is_md5_prefix_mod(spark):
+    import hashlib
+
+    rows = [(i, f"text sample {i}", "en") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = stratified_sample(docs, {"en": 1000}, default_rate=0)
+    for r in out.collect():  # rate 1000/1000 keeps everything
+        expect = int(hashlib.md5(f"text sample {r['doc_id']}".encode()).hexdigest()[:8], 16) % 1000
+        assert r["bucket"] == expect
+    assert out.count() == 10
+
+
+def test_stratified_sample_default_rate_for_unknown_stratum(spark):
+    rows = [(i, f"text {i}", "xx") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept_all = stratified_sample(docs, {"en": 500}, default_rate=1000).count()
+    kept_none = stratified_sample(docs, {"en": 500}, default_rate=0).count()
+    assert kept_all == 30 and kept_none == 0

@@ -176,3 +176,32 @@ def test_batch_serve_scan_is_narrow_over_cache(spark):
     assert " In(" not in big_plan and " IN (" not in big_plan, big_plan
     assert "ENSURE_REQUIREMENTS" not in big_plan, big_plan
     cache.unpersist()
+
+
+def test_decontamination_probes_eval_via_broadcast(spark, queries):
+    """The eval (benchmark) shingle set is MBs while training shingles
+    are the 100 TB side: the hit-probe must be a BroadcastHashJoin —
+    a shuffle join here would reshuffle the entire training corpus
+    against a tiny dimension."""
+    plan = _plan(queries["text_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_jvm_only_no_shuffle_agg(spark, queries):
+    """Sampling must stay a per-row codegen filter: no Python eval (the
+    Arrow fingerprint UDF would be DUPLICATED by filter pushdown — the
+    md5 bucket hash is JVM-side), no join, no aggregation."""
+    plan = _plan(queries["text_stratified_sample"](spark, SF))
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "Join", "HashAggregate"):
+        assert bad not in plan, bad
+
+
+def test_pii_redact_is_single_projection(spark, queries):
+    """The whole redaction chain (3 counts + 3 replaces) must collapse
+    into Catalyst projections over the scan — no Python, no join, no
+    aggregation, trivially parallel."""
+    plan = _plan(queries["text_pii_redact"](spark, SF))
+    for bad in ("EvalPython", "Join", "HashAggregate", "Sort"):
+        assert bad not in plan, bad
