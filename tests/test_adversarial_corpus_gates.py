@@ -63,6 +63,13 @@ SIMPLE_GATES = [
     "text_quality",
     "text_token_counts",
     "text_fingerprints",
+    # curation ops share the simple norm/tokens contract; pii_redact
+    # additionally stresses Java-regex vs RE2 agreement on hostile
+    # codepoints around its ASCII-literal classes
+    "text_decontaminate",
+    "text_repetition",
+    "text_pii_redact",
+    "text_stratified_sample",
 ]
 FULL_PIPELINE_GATES = ["wand_topk_lno", "wand_serve_batch"]
 
