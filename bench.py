@@ -117,6 +117,37 @@ def run_headline(spark) -> dict[str, float]:
     return times
 
 
+#: curation operators timed SEPARATELY from the headline set — the
+#: headline list is pinned for round-over-round comparability, and
+#: these four are a different workload class (corpus curation, not
+#: index/query). Same discipline: warmup pass at sf0.001 outside the
+#: timers, then one timed materialization each at SF_DIR.
+CURATION = [
+    "text_decontaminate",
+    "text_repetition",
+    "text_pii_redact",
+    "text_stratified_sample",
+]
+
+
+def run_curation(spark) -> dict[str, float]:
+    from flame_spark.queries import QUERIES
+
+    if os.environ.get("FLAME_BENCH_WARMUP", "1") != "0":
+        for name in CURATION:
+            try:
+                QUERIES[name](spark, "/root/testdata/sf0.001").count()
+            except Exception as exc:
+                print(f"  warmup {name} skipped: {exc}", file=sys.stderr)
+    times = {}
+    for name in CURATION:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    return times
+
+
 def stage_transcripts(n_turns: int) -> str:
     """Generate the synthetic transcripts ONCE (at full parallelism) to
     a staged parquet dir; scaling levels then read identical input from
@@ -648,7 +679,7 @@ def choose_level_stat(samples: list, baseline_cpu: float | None) -> dict:
 def main():
     from flame_spark.session import get_spark
 
-    times, total, latency, skew = {}, 0.0, {}, {}
+    times, total, latency, skew, curation = {}, 0.0, {}, {}, {}
     if os.environ.get("FLAME_BENCH_HEADLINE", "1") != "0":
         spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
         # FATAL: benign teardown noise (e.g. a PythonAccumulatorV2
@@ -665,6 +696,8 @@ def main():
         if os.environ.get("FLAME_BENCH_SKEW", "1") != "0":
             skew = skew_evidence(spark)
             print(f"  skew: {skew}", file=sys.stderr)
+        if os.environ.get("FLAME_BENCH_CURATION", "1") != "0":
+            curation = run_curation(spark)
         spark.stop()
 
     scaling = {}
@@ -897,6 +930,7 @@ def main():
         "sf": SF_DIR,
         "latency": latency,
         "skew": skew,
+        "curation": curation,
         "scaling": scaling,
     }
     print(json.dumps(out))
