@@ -86,28 +86,30 @@ HEADLINE = [
 ]
 
 
-def run_headline(spark) -> dict[str, float]:
+#: warmup reads a DIFFERENT sf dir than the timed runs, so none of the
+#: timed plans can hit a cache or page-cache entry it created
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def _run_query_set(spark, names) -> dict[str, float]:
+    """Warmup pass (outside the timers) + one timed materialization per
+    query. Warmup rationale: one pass of every query at sf0.001 spins
+    up the Python workers and JIT-compiles/codegens each query shape
+    ONCE per process — a long-lived cluster amortizes that once per
+    executor lifetime, and charging it to whichever query happens to
+    run first (~8 s of the first query's wall time, measured)
+    misattributes process startup as plan cost."""
     from flame_spark.queries import QUERIES
 
     if os.environ.get("FLAME_BENCH_WARMUP", "1") != "0":
-        # warmup OUTSIDE the timers, same rationale as the scaling
-        # levels below: one pass of every headline query at sf0.001
-        # spins up the Python workers and JIT-compiles/codegens each
-        # query shape ONCE per process — a long-lived cluster amortizes
-        # that once per executor lifetime, and charging it to whichever
-        # query happens to run first (~8 s of the first query's wall
-        # time, measured) misattributes process startup as plan cost.
-        # The warmup reads a DIFFERENT sf dir, so none of the timed
-        # sf0.1 plans can hit a cache or page-cache entry it created.
-        warm_dir = "/root/testdata/sf0.001"
-        for name in HEADLINE:
+        for name in names:
             try:
-                QUERIES[name](spark, warm_dir).count()
+                QUERIES[name](spark, WARM_DIR).count()
             except Exception as exc:  # never let warmup sink the bench
                 print(f"  warmup {name} skipped: {exc}", file=sys.stderr)
 
     times = {}
-    for name in HEADLINE:
+    for name in names:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
@@ -115,6 +117,10 @@ def run_headline(spark) -> dict[str, float]:
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
     return times
+
+
+def run_headline(spark) -> dict[str, float]:
+    return _run_query_set(spark, HEADLINE)
 
 
 #: curation operators timed SEPARATELY from the headline set — the
@@ -131,21 +137,7 @@ CURATION = [
 
 
 def run_curation(spark) -> dict[str, float]:
-    from flame_spark.queries import QUERIES
-
-    if os.environ.get("FLAME_BENCH_WARMUP", "1") != "0":
-        for name in CURATION:
-            try:
-                QUERIES[name](spark, "/root/testdata/sf0.001").count()
-            except Exception as exc:
-                print(f"  warmup {name} skipped: {exc}", file=sys.stderr)
-    times = {}
-    for name in CURATION:
-        t0 = time.perf_counter()
-        n = QUERIES[name](spark, SF_DIR).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
-    return times
+    return _run_query_set(spark, CURATION)
 
 
 def stage_transcripts(n_turns: int) -> str:
@@ -680,23 +672,26 @@ def main():
     from flame_spark.session import get_spark
 
     times, total, latency, skew, curation = {}, 0.0, {}, {}, {}
-    if os.environ.get("FLAME_BENCH_HEADLINE", "1") != "0":
+    want_headline = os.environ.get("FLAME_BENCH_HEADLINE", "1") != "0"
+    want_curation = os.environ.get("FLAME_BENCH_CURATION", "1") != "0"
+    if want_headline or want_curation:
         spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
         # FATAL: benign teardown noise (e.g. a PythonAccumulatorV2
         # heartbeat racing session stop) must not land in the captured
         # bench stderr
         spark.sparkContext.setLogLevel("FATAL")
-        times = run_headline(spark)
-        # sum of the per-query timers — the warmup pass inside
-        # run_headline is deliberately outside every timer
-        total = round(sum(times.values()), 3)
-        if os.environ.get("FLAME_BENCH_LATENCY", "1") != "0":
-            latency = bm25_latency(spark)
-            print(f"  latency: {latency}", file=sys.stderr)
-        if os.environ.get("FLAME_BENCH_SKEW", "1") != "0":
-            skew = skew_evidence(spark)
-            print(f"  skew: {skew}", file=sys.stderr)
-        if os.environ.get("FLAME_BENCH_CURATION", "1") != "0":
+        if want_headline:
+            times = run_headline(spark)
+            # sum of the per-query timers — the warmup pass inside
+            # run_headline is deliberately outside every timer
+            total = round(sum(times.values()), 3)
+            if os.environ.get("FLAME_BENCH_LATENCY", "1") != "0":
+                latency = bm25_latency(spark)
+                print(f"  latency: {latency}", file=sys.stderr)
+            if os.environ.get("FLAME_BENCH_SKEW", "1") != "0":
+                skew = skew_evidence(spark)
+                print(f"  skew: {skew}", file=sys.stderr)
+        if want_curation:
             curation = run_curation(spark)
         spark.stop()
 

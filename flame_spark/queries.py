@@ -75,7 +75,7 @@ def _memo(spark, sf_dir: str, key: str, build):
     return _MEMO[k]
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
     # the documents table arrives as ONE small parquet file = one scan
     # partition; without a spread every downstream tokenize/shingle/
     # aggregate stage runs on a single core. One tiny shuffle (the
@@ -84,7 +84,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text", *extra_cols)
         .repartition(n_parts)
     )
 
@@ -2069,14 +2069,9 @@ SQL_PII_REDACT = _sql_pii()
 def q_stratified_sample(spark, sf_dir):
     from .textops import stratified_sample
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(F.col("doc_id").cast("long").alias("doc_id"), "text", "lang")
-        .repartition(n_parts)
-    )
     return stratified_sample(
-        docs, STRATA_RATES, STRATA_DEFAULT_RATE, denom=STRATA_DENOM
+        _docs(spark, sf_dir, "lang"),
+        STRATA_RATES, STRATA_DEFAULT_RATE, denom=STRATA_DENOM,
     )
 
 

@@ -135,12 +135,16 @@ def acquire_singleton() -> "object | None":
     import fcntl
 
     os.makedirs(os.path.dirname(PROBE_STATE), exist_ok=True)
-    f = open(os.path.join(os.path.dirname(PROBE_STATE), "accumulator.lock"), "w")
+    # open in append mode: 'w' would truncate the HOLDER's recorded
+    # pid on every failed acquisition attempt, exactly when that pid
+    # is needed to answer "who holds the lock?"
+    f = open(os.path.join(os.path.dirname(PROBE_STATE), "accumulator.lock"), "a")
     try:
         fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
     except OSError:
         f.close()
         return None
+    f.truncate(0)
     f.write(f"{os.getpid()}\n")
     f.flush()
     return f
