@@ -6,7 +6,9 @@
   table.
 - ``queries()``: one entry per implemented operator family from
   SURVEY.md §2 plus the training-data pipeline operators
-  (dedup / similarity search / text analysis / embeddings ANN).
+  (dedup / similarity search / text analysis / embeddings ANN /
+  curation: decontamination, repetition, PII redaction, stratified
+  sampling).
 - ``oracle_sql()``: DuckDB twins for every SQL-expressible entry
   (rows-only for WAND pruning, Otsu, LSH-ANN, BPE — non-SQL paths,
   each covered by oracle-differential pytest instead).
