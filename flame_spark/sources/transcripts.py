@@ -1,5 +1,6 @@
-"""Transcript table readers: parquet (the Iceberg stand-in), JSONL and
-CSV — the interchange formats conversation logs actually arrive in.
+"""Transcript table readers: parquet (the Iceberg stand-in), ORC,
+JSONL and CSV — the interchange formats conversation logs actually
+arrive in.
 
 Contract: every reader returns the canonical transcript schema
 (streaming.TRANSCRIPT_SCHEMA: conv_id, turn_idx, role, text, tool, ts)
@@ -34,8 +35,8 @@ input split — one task reads the whole file no matter how many
 executors the cluster has. The documented contract is therefore
 many-files exports (each file ≲128 MB); a single huge CSV serializes
 the scan and ``read_transcripts`` warns loudly (see
-``_warn_unsplittable_csv``). JSONL — the preferred log format — and
-parquet split fine.
+``_warn_unsplittable_csv``). JSONL — the preferred log format —
+parquet and ORC split fine.
 """
 
 from __future__ import annotations
@@ -206,8 +207,11 @@ def read_transcripts_with_stats(
     handle (``stats.n_bad`` — populated by the first action under
     ``on_malformed='drop'``; constantly 0 under ``'error'``, which
     raises from the action instead)."""
-    if fmt == "parquet":
-        df = spark.read.parquet(path)
+    if fmt in ("parquet", "orc"):
+        # ORC shares the typed-columnar contract with parquet (real
+        # schema in the footer, splittable stripes/row-groups, pushdown
+        # + pruning) — one branch serves both
+        df = spark.read.format(fmt).load(path)
         # case-insensitive column resolution: validate AND select
         # through the same lowercase map, so a 'Conv_Id' export cannot
         # pass the presence check and then silently null out in the
@@ -216,7 +220,7 @@ def read_transcripts_with_stats(
         missing = [c for c in _KEY_COLS if c not in by_lower]
         if missing:
             raise ValueError(
-                f"read_transcripts(parquet): missing columns {missing} "
+                f"read_transcripts({fmt}): missing columns {missing} "
                 f"in {path} (schema: {df.columns})"
             )
         # cast to the canonical types; extra columns are dropped so

@@ -44,6 +44,7 @@ def staged(spark, tmp_path_factory):
     )
     raw = transcripts_df(spark, 6, 5).unionByName(hard)
     raw.coalesce(1).write.mode("overwrite").parquet(str(d / "pq"))
+    raw.coalesce(1).write.mode("overwrite").orc(str(d / "orc"))
     # JSONL export (timestamps as ISO strings, Spark's JSON default)
     raw.coalesce(1).write.mode("overwrite").json(str(d / "jl"))
     # a faithful CSV export must disable whitespace trimming and write
@@ -60,13 +61,36 @@ def staged(spark, tmp_path_factory):
 
 def test_formats_roundtrip_identically(spark, staged):
     pq = read_transcripts(spark, str(staged / "pq"), "parquet")
+    oc = read_transcripts(spark, str(staged / "orc"), "orc")
     jl = read_transcripts(spark, str(staged / "jl"), "jsonl")
     cs = read_transcripts(spark, str(staged / "cs"), "csv")
-    assert pq.schema == jl.schema == cs.schema
+    assert pq.schema == oc.schema == jl.schema == cs.schema
     want = _rows_key(pq)
+    assert _rows_key(oc) == want
     assert _rows_key(jl) == want
     assert _rows_key(cs) == want
     assert len(want) > 20
+
+
+def test_orc_malformed_loud_and_counted(spark, tmp_path):
+    # ORC goes through the same typed-columnar branch as parquet: a
+    # null key column must raise under 'error' and be counted under
+    # 'drop' — format-independent contract
+    bad = spark.createDataFrame(
+        [("c1", 0, "user", "ok", None, None),
+         (None, 1, "user", "null conv", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    path = str(tmp_path / "orc_bad")
+    bad.coalesce(1).write.orc(path)
+    with pytest.raises(Exception, match="malformed row"):
+        read_transcripts(spark, path, "orc").count()
+    df, stats = read_transcripts_with_stats(
+        spark, path, "orc", on_malformed="drop"
+    )
+    assert df.count() == 1
+    assert stats.n_bad == 1
 
 
 def test_malformed_rows_loud_or_counted(spark, staged, tmp_path):

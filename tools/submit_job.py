@@ -2,11 +2,11 @@
 
     zip -r /tmp/flame_spark.zip flame_spark
     spark-submit --master local[8] --py-files /tmp/flame_spark.zip \\
-        tools/submit_job.py [--format=parquet|jsonl|csv] \\
+        tools/submit_job.py [--format=parquet|orc|jsonl|csv] \\
         <transcripts_path> <warehouse_dir> [n_shards] [queries_json]
 
-``--format`` routes the source through sources.read_transcripts, so a
-JSONL or CSV export gets the same canonical schema and the same loud
+``--format`` routes the source through sources.read_transcripts, so an
+ORC, JSONL or CSV export gets the same canonical schema and the same loud
 single-pass malformed-row contract as the parquet path (a malformed
 line fails the submit with the offending row in the message).
 
