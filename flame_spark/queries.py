@@ -2095,6 +2095,100 @@ SELECT doc_id, stratum, bucket, keep_rate FROM (
 
 
 # ---------------------------------------------------------------------------
+# conversation assembly (transcript payload: turns -> docs -> windows)
+# ---------------------------------------------------------------------------
+
+#: context-window chunking knobs for the gate (chars); the sf0.01 docs
+#: assemble to a few KB, so every conversation yields several windows
+#: including a short tail chunk
+CONV_WINDOW = 500
+CONV_STRIDE = 400
+
+
+def _conv_turns(spark, sf_dir):
+    """Deterministic transcript-shaped derivation of the documents
+    table (the oracle views only cover the testdata tables): each
+    document becomes a 3-turn user/assistant/user conversation via
+    floor-third substrings — same derivation as the streaming
+    conv-state gate, with varied roles so role tags are exercised.
+    NOTE: floor-division before the INT cast on BOTH sides (DuckDB
+    casts double->INT by ROUNDING, Spark truncates)."""
+    d = _docs(spark, sf_dir).select(
+        F.format_string("c%08d", F.col("doc_id").cast("int")).alias("conv_id"),
+        "text",
+        F.floor(F.length("text") / 3).cast("int").alias("third"),
+    )
+
+    def turn(i, role, expr):
+        return d.select(
+            "conv_id",
+            F.lit(i).alias("turn_idx"),
+            F.lit(role).alias("role"),
+            F.expr(expr).alias("text"),
+        )
+
+    return (
+        turn(0, "user", "substring(text, 1, third)")
+        .unionByName(turn(1, "assistant", "substring(text, third + 1, third)"))
+        .unionByName(turn(2, "user", "substring(text, 2 * third + 1)"))
+    )
+
+
+_CONV_TURNS_SQL = """
+d AS (SELECT printf('c%08d', doc_id::INT) AS conv_id, text,
+             (length(text) // 3)::INT AS third FROM documents),
+turns AS (
+  SELECT conv_id, 0 AS turn_idx, 'user' AS role,
+         substring(text, 1, third) AS text FROM d
+  UNION ALL
+  SELECT conv_id, 1, 'assistant', substring(text, third + 1, third) FROM d
+  UNION ALL
+  SELECT conv_id, 2, 'user', substring(text, 2 * third + 1) FROM d),
+conv_docs AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                    ORDER BY turn_idx) AS doc,
+         count(*)::BIGINT AS n_turns
+  FROM turns GROUP BY conv_id)
+"""
+
+
+def q_conv_docs(spark, sf_dir):
+    from .convops import conversation_docs
+
+    return conversation_docs(_conv_turns(spark, sf_dir))
+
+
+SQL_CONV_DOCS = f"""
+WITH {_CONV_TURNS_SQL}
+SELECT conv_id, n_turns, length(doc)::BIGINT AS n_chars, doc FROM conv_docs
+"""
+
+
+def q_conv_windows(spark, sf_dir):
+    from .convops import conversation_docs, conversation_windows
+
+    return conversation_windows(
+        conversation_docs(_conv_turns(spark, sf_dir)),
+        window=CONV_WINDOW,
+        stride=CONV_STRIDE,
+    )
+
+
+SQL_CONV_WINDOWS = f"""
+WITH {_CONV_TURNS_SQL}
+SELECT conv_id,
+       ((u.s - 1) // {CONV_STRIDE})::INT AS window_idx,
+       u.s::BIGINT AS "start",
+       length(substring(doc, u.s, {CONV_WINDOW}))::BIGINT AS n_chars,
+       substring(doc, u.s, {CONV_WINDOW}) AS chunk
+FROM conv_docs,
+     UNNEST(generate_series(1, greatest(length(doc), 1), {CONV_STRIDE}))
+       AS u(s)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2131,6 +2225,8 @@ QUERIES = {
     "text_repetition": q_repetition,
     "text_pii_redact": q_pii_redact,
     "text_stratified_sample": q_stratified_sample,
+    "transcript_conv_docs": q_conv_docs,
+    "transcript_conv_windows": q_conv_windows,
     "ann_cosine_topk": q_ann_bruteforce,
     "events_window5m": q_events_window,
     "stream_events_window5m": q_stream_events_window,
@@ -2182,6 +2278,8 @@ ORACLE_SQL = {
     "text_repetition": SQL_REPETITION,
     "text_pii_redact": SQL_PII_REDACT,
     "text_stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "transcript_conv_docs": SQL_CONV_DOCS,
+    "transcript_conv_windows": SQL_CONV_WINDOWS,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "events_window5m": SQL_EVENTS_WINDOW,
     # the streaming variant must equal the batch aggregation, so it

@@ -70,6 +70,10 @@ SIMPLE_GATES = [
     "text_repetition",
     "text_pii_redact",
     "text_stratified_sample",
+    # conversation assembly stresses substring/length/string_agg
+    # code-point parity (vs UTF-16) on astral-plane + combining chars
+    "transcript_conv_docs",
+    "transcript_conv_windows",
 ]
 FULL_PIPELINE_GATES = ["wand_topk_lno", "wand_serve_batch"]
 
