@@ -133,6 +133,8 @@ CURATION = [
     "text_repetition",
     "text_pii_redact",
     "text_stratified_sample",
+    "transcript_conv_docs",
+    "transcript_conv_windows",
 ]
 
 

@@ -572,6 +572,49 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", *counts, cur.alias("redacted"))
 
 
+def curate_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    top2_threshold: float = 0.06,
+    dup3_threshold: float = 0.05,
+    min_tokens: int = 30,
+) -> DataFrame:
+    """Standard pre-index curation composition: PII-redact every
+    document, drop repetitive documents (Gopher top-2-gram /
+    dup-3-gram signals), then exact-dedup on the REDACTED normalized
+    text (so duplicates that differ only in redacted PII collapse),
+    keeping the min-doc_id copy of each group.
+
+    Documents under ``min_tokens`` are EXEMPT from the repetition
+    flag: for an n-token doc with all-distinct grams top2gram_frac is
+    1/(n-1), so the corpus-calibrated thresholds would drop every
+    short turn — short docs are a length-filter concern
+    (cfg.min_text_length downstream), not a repetition one.
+
+    Returns ``(doc_id, text)`` with the redacted text — ready to feed
+    ``prepare_docs``/the index build. Scale shape: redaction is one
+    codegen projection; the repetition filter and the dedup are each
+    one hash-shuffle aggregation plus an equi-join — no all-pairs
+    anywhere, linear in corpus tokens.
+    """
+    red = pii_redact(docs, text_col).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    keep_ids = (
+        repetition_scores(
+            red, top2_threshold=top2_threshold, dup3_threshold=dup3_threshold
+        )
+        .filter(~F.col("repetitive") | (F.col("n_tokens") < min_tokens))
+        .select("doc_id")
+    )
+    kept = red.join(keep_ids, "doc_id")
+    hashed = kept.select(
+        "doc_id", F.md5(norm_text_col(F.col("text"))).alias("text_hash"), "text"
+    )
+    keepers = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    return hashed.join(keepers, ["text_hash", "doc_id"]).select("doc_id", "text")
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, int],

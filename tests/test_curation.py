@@ -167,3 +167,32 @@ def test_stratified_sample_default_rate_for_unknown_stratum(spark):
     kept_all = stratified_sample(docs, {"en": 500}, default_rate=1000).count()
     kept_none = stratified_sample(docs, {"en": 500}, default_rate=0).count()
     assert kept_all == 30 and kept_none == 0
+
+
+def test_curate_docs_composition(spark):
+    """PII-redact -> repetition-filter -> exact-dedup, hand-computed:
+    docs that differ only in PII collapse AFTER redaction; the
+    repetitive doc is dropped; survivors carry redacted text."""
+    from flame_spark.textops import curate_docs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base + " contact alice@example.com for details"),
+        (2, base + " contact bob.smith@test.org for details"),  # dup of 1 post-redact
+        (3, "spam alert " * 60),                                # repetitive -> dropped
+        (4, "a completely different document about medieval charters and notaries"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in curate_docs(docs).collect()}
+    assert set(out) == {1, 4}  # 2 deduped into 1 (min doc_id), 3 dropped
+    assert "[EMAIL]" in out[1] and "alice" not in out[1]
+    assert out[4] == rows[3][1]  # untouched
+
+
+def test_curate_docs_keeps_singletons_and_clean_docs(spark):
+    from flame_spark.textops import curate_docs
+
+    rows = [(i, f"unique clean document number {i} with plenty of distinct words")
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert curate_docs(docs).count() == 10

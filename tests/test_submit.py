@@ -35,11 +35,13 @@ def _zip_package(dest: str) -> str:
     return zpath
 
 
-def _run(zpath, src, wh, queries, fmt=None, expect_rc=0):
+def _run(zpath, src, wh, queries, fmt=None, expect_rc=0, curate=False):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip must be the ONLY package source
     env["PYSPARK_PYTHON"] = sys.executable
     fmt_args = [f"--format={fmt}"] if fmt else []
+    if curate:
+        fmt_args.append("--curate")
     r = subprocess.run(
         [
             _spark_submit(), "--master", "local[4]",
@@ -117,3 +119,53 @@ def test_spark_submit_jsonl_format(spark, tmp_path):
     err = _run(zpath, jl, str(tmp_path / "wh_bad"), queries,
                fmt="jsonl", expect_rc=1)
     assert "malformed row" in err
+
+
+def test_spark_submit_curate(spark, tmp_path):
+    """--curate runs PII-redact -> repetition-filter -> exact-dedup
+    before the build: the repetitive conversation never reaches the
+    index, PII-only near-duplicates collapse to one doc, and the
+    summary line reports the curation counts."""
+    from flame_spark.data import transcripts_df
+
+    base = " ".join(f"distinctword{i}" for i in range(40)) + " uniquedupword"
+    extra = spark.createDataFrame(
+        [
+            ("zz_dup", 0, "user", base + " reach me at alice@example.com now",
+             None, None),
+            ("zz_dup", 1, "user", base + " reach me at bob.smith@test.org now",
+             None, None),
+            ("zz_rep", 0, "user", "spammy token " * 80, None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    src = str(tmp_path / "transcripts")
+    transcripts_df(spark, 12, 6).unionByName(extra).write.parquet(src)
+    zpath = _zip_package(str(tmp_path))
+    # term_mode="lno" shingles word TRIGRAMS — a query under 3 tokens
+    # has zero terms, so each query carries a trigram from its target
+    queries = [
+        {"query_id": "qdup",
+         "query_text": "distinctword38 distinctword39 uniquedupword"},
+        {"query_id": "qrep", "query_text": "spammy token spammy token"},
+    ]
+
+    plain = _run(zpath, src, str(tmp_path / "wh_plain"), queries)
+    cur = _run(zpath, src, str(tmp_path / "wh_cur"), queries, curate=True)
+
+    assert plain[0]["curation"] is None
+    c = cur[0]["curation"]
+    assert c["n_kept"] < c["n_input"]
+    # the index built over curated docs is smaller
+    assert cur[0]["n_docs"] < plain[0]["n_docs"]
+
+    def hits(out, qid):
+        return [r for r in out[1:] if r["query_id"] == qid]
+
+    # near-dups differing only in PII: both served plain, one curated
+    assert len(hits(plain, "qdup")) == 2
+    assert len(hits(cur, "qdup")) == 1
+    # the repetitive doc is gone from the curated index entirely
+    assert len(hits(plain, "qrep")) >= 1
+    assert len(hits(cur, "qrep")) == 0

@@ -2,13 +2,21 @@
 
     zip -r /tmp/flame_spark.zip flame_spark
     spark-submit --master local[8] --py-files /tmp/flame_spark.zip \\
-        tools/submit_job.py [--format=parquet|orc|jsonl|csv] \\
+        tools/submit_job.py [--format=parquet|orc|jsonl|csv] [--curate] \\
         <transcripts_path> <warehouse_dir> [n_shards] [queries_json]
 
 ``--format`` routes the source through sources.read_transcripts, so an
 ORC, JSONL or CSV export gets the same canonical schema and the same loud
 single-pass malformed-row contract as the parquet path (a malformed
 line fails the submit with the offending row in the message).
+
+``--curate`` runs the training-set curation composition
+(textops.curate_docs: PII redaction -> repetition filter -> exact
+dedup on the redacted text) between turn-id assignment and the index
+build, so the warehouse only ever sees redacted, deduplicated text;
+the summary line reports n_input/n_kept. (The counts are two extra
+tiny actions here; at warehouse scale hang them on ``df.observe`` of
+the build job instead.)
 
 Builds the serving index (two-exchange path), writes checkpointed
 segment shards with lineage + metrics into <warehouse_dir>, then (if a
@@ -28,9 +36,14 @@ from pyspark.sql import SparkSession, functions as F
 
 
 def main(argv: list[str]) -> int:
-    fmt = "parquet"
-    if argv and argv[0].startswith("--format="):
-        fmt = argv[0].split("=", 1)[1]
+    fmt, curate = "parquet", False
+    while argv and argv[0].startswith("--"):
+        if argv[0].startswith("--format="):
+            fmt = argv[0].split("=", 1)[1]
+        elif argv[0] == "--curate":
+            curate = True
+        else:
+            raise SystemExit(f"unknown flag: {argv[0]}")
         argv = argv[1:]
     src, wh_dir = argv[0], argv[1]
     n_shards = int(argv[2]) if len(argv) > 2 else 16
@@ -59,6 +72,13 @@ def main(argv: list[str]) -> int:
     )
     raw = read_transcripts(spark, src, fmt=fmt)
     tdf = add_doc_id(raw, ["conv_id", "turn_idx"]).select("doc_id", "text")
+    curation = None
+    if curate:
+        from flame_spark.textops import curate_docs
+
+        n_input = tdf.count()
+        tdf = curate_docs(tdf).persist()
+        curation = {"n_input": n_input, "n_kept": tdf.count()}
     docs, artifacts = prepare_docs(tdf, cfg)
     stats = corpus_stats(doc_lengths_arith(docs, cfg))
     scored = scored_postings_direct(
@@ -77,7 +97,8 @@ def main(argv: list[str]) -> int:
     )
     segs = wh.read_snapshot(spark)
     print(json.dumps({"segments": segs.count(), "snapshot": sid,
-                      "input_snapshot": snap, "n_docs": stats.n_docs}))
+                      "input_snapshot": snap, "n_docs": stats.n_docs,
+                      "curation": curation}))
 
     if queries:
         serving = ServingIndex(
