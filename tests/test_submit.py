@@ -35,13 +35,16 @@ def _zip_package(dest: str) -> str:
     return zpath
 
 
-def _run(zpath, src, wh, queries, fmt=None, expect_rc=0, curate=False):
+def _run(zpath, src, wh, queries, fmt=None, expect_rc=0, curate=False,
+         unit=None):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip must be the ONLY package source
     env["PYSPARK_PYTHON"] = sys.executable
     fmt_args = [f"--format={fmt}"] if fmt else []
     if curate:
         fmt_args.append("--curate")
+    if unit:
+        fmt_args.append(f"--unit={unit}")
     r = subprocess.run(
         [
             _spark_submit(), "--master", "local[4]",
@@ -169,3 +172,26 @@ def test_spark_submit_curate(spark, tmp_path):
     # the repetitive doc is gone from the curated index entirely
     assert len(hits(plain, "qrep")) >= 1
     assert len(hits(cur, "qrep")) == 0
+
+
+def test_spark_submit_conv_unit(spark, tmp_path):
+    """--unit=conv indexes one assembled document per conversation:
+    n_docs == n_conversations and WAND returns conversation-level
+    doc_ids (rank over conv_id, so < n_conversations)."""
+    from flame_spark.data import transcripts_df
+
+    src = str(tmp_path / "transcripts")
+    transcripts_df(spark, 12, 6).write.parquet(src)
+    zpath = _zip_package(str(tmp_path))
+    queries = [
+        {"query_id": "q0",
+         "query_text": "in nomine sancte et individue trinitatis amen"},
+    ]
+    out = _run(zpath, src, str(tmp_path / "wh_conv"), queries, unit="conv")
+    assert out[0]["unit"] == "conv"
+    assert out[0]["n_docs"] == 12  # every assembled conversation survives
+    results = out[1:]
+    assert results, "no hits at conversation granularity"
+    assert all(0 <= r["doc_id"] < 12 for r in results)
+    ranks = [r["rank"] for r in results]
+    assert ranks == sorted(ranks) and ranks[0] == 1

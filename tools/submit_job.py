@@ -2,13 +2,21 @@
 
     zip -r /tmp/flame_spark.zip flame_spark
     spark-submit --master local[8] --py-files /tmp/flame_spark.zip \\
-        tools/submit_job.py [--format=parquet|orc|jsonl|csv] [--curate] \\
+        tools/submit_job.py [--format=parquet|orc|jsonl|csv] \\
+        [--unit=turn|conv] [--curate] \\
         <transcripts_path> <warehouse_dir> [n_shards] [queries_json]
 
 ``--format`` routes the source through sources.read_transcripts, so an
 ORC, JSONL or CSV export gets the same canonical schema and the same loud
 single-pass malformed-row contract as the parquet path (a malformed
 line fails the submit with the offending row in the message).
+
+``--unit=turn`` (default) indexes each transcript turn as a document
+(doc_id = rank over (conv_id, turn_idx)); ``--unit=conv`` first
+assembles one document per conversation (convops.conversation_docs:
+stable turn_idx order, ``role: text`` lines) and indexes those
+(doc_id = rank over conv_id) — retrieval then returns whole
+conversations instead of single turns.
 
 ``--curate`` runs the training-set curation composition
 (textops.curate_docs: PII redaction -> repetition filter -> exact
@@ -36,12 +44,16 @@ from pyspark.sql import SparkSession, functions as F
 
 
 def main(argv: list[str]) -> int:
-    fmt, curate = "parquet", False
+    fmt, curate, unit = "parquet", False, "turn"
     while argv and argv[0].startswith("--"):
         if argv[0].startswith("--format="):
             fmt = argv[0].split("=", 1)[1]
         elif argv[0] == "--curate":
             curate = True
+        elif argv[0].startswith("--unit="):
+            unit = argv[0].split("=", 1)[1]
+            if unit not in ("turn", "conv"):
+                raise SystemExit(f"unknown --unit: {unit}")
         else:
             raise SystemExit(f"unknown flag: {argv[0]}")
         argv = argv[1:]
@@ -71,7 +83,15 @@ def main(argv: list[str]) -> int:
         term_mode="lno", n_shards=n_shards,
     )
     raw = read_transcripts(spark, src, fmt=fmt)
-    tdf = add_doc_id(raw, ["conv_id", "turn_idx"]).select("doc_id", "text")
+    if unit == "conv":
+        from flame_spark.convops import conversation_docs
+
+        conv = conversation_docs(raw).select(
+            "conv_id", F.col("doc").alias("text")
+        )
+        tdf = add_doc_id(conv, ["conv_id"]).select("doc_id", "text")
+    else:
+        tdf = add_doc_id(raw, ["conv_id", "turn_idx"]).select("doc_id", "text")
     curation = None
     if curate:
         from flame_spark.textops import curate_docs
@@ -98,7 +118,7 @@ def main(argv: list[str]) -> int:
     segs = wh.read_snapshot(spark)
     print(json.dumps({"segments": segs.count(), "snapshot": sid,
                       "input_snapshot": snap, "n_docs": stats.n_docs,
-                      "curation": curation}))
+                      "unit": unit, "curation": curation}))
 
     if queries:
         serving = ServingIndex(
