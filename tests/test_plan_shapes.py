@@ -205,3 +205,28 @@ def test_pii_redact_is_single_projection(spark, queries):
     plan = _plan(queries["text_pii_redact"](spark, SF))
     for bad in ("EvalPython", "Join", "HashAggregate", "Sort"):
         assert bad not in plan, bad
+
+
+def test_conv_assembly_single_shuffle_no_python(spark, queries):
+    """Conversation assembly is ONE conv_id-keyed exchange feeding an
+    ObjectHashAggregate (collect_list) — no join, no Python, no sort
+    (ordering comes from sort_array inside the aggregate, not a
+    SortExec over the full rows)."""
+    plan = _plan(queries["transcript_conv_docs"](spark, SF))
+    for bad in ("EvalPython", "Join", "CartesianProduct"):
+        assert bad not in plan, bad
+    # exactly one exchange for the groupBy (plus none for the scan side)
+    n_agg_exchanges = plan.count("Exchange hashpartitioning(conv_id")
+    assert n_agg_exchanges == 1, plan[:2000]
+
+
+def test_conv_windows_add_no_shuffle_over_assembly(spark, queries):
+    """Window cutting is a pure posexplode projection: the windows
+    plan must contain Generate but NO exchange beyond the single
+    assembly exchange — chunking pipelines out of the aggregation."""
+    docs_plan = _plan(queries["transcript_conv_docs"](spark, SF))
+    win_plan = _plan(queries["transcript_conv_windows"](spark, SF))
+    assert "Generate" in win_plan  # posexplode present
+    for bad in ("EvalPython", "Join", "CartesianProduct"):
+        assert bad not in win_plan, bad
+    assert win_plan.count("Exchange") == docs_plan.count("Exchange")
