@@ -142,6 +142,21 @@ def run_curation(spark) -> dict[str, float]:
     return _run_query_set(spark, CURATION)
 
 
+#: structured-search operators (searchops.py) — again a separate block
+#: so the pinned headline list stays round-comparable. boolean/suggest
+#: share one memoized word-index build (charged to whichever runs
+#: first, disclosed here); phrase builds its own positional stream.
+SEARCH = [
+    "search_boolean_topk",
+    "search_phrase_topk",
+    "search_prefix_suggest",
+]
+
+
+def run_search(spark) -> dict[str, float]:
+    return _run_query_set(spark, SEARCH)
+
+
 def stage_transcripts(n_turns: int) -> str:
     """Generate the synthetic transcripts ONCE (at full parallelism) to
     a staged parquet dir; scaling levels then read identical input from
@@ -673,10 +688,11 @@ def choose_level_stat(samples: list, baseline_cpu: float | None) -> dict:
 def main():
     from flame_spark.session import get_spark
 
-    times, total, latency, skew, curation = {}, 0.0, {}, {}, {}
+    times, total, latency, skew, curation, search = {}, 0.0, {}, {}, {}, {}
     want_headline = os.environ.get("FLAME_BENCH_HEADLINE", "1") != "0"
     want_curation = os.environ.get("FLAME_BENCH_CURATION", "1") != "0"
-    if want_headline or want_curation:
+    want_search = os.environ.get("FLAME_BENCH_SEARCH", "1") != "0"
+    if want_headline or want_curation or want_search:
         spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
         # FATAL: benign teardown noise (e.g. a PythonAccumulatorV2
         # heartbeat racing session stop) must not land in the captured
@@ -695,6 +711,8 @@ def main():
                 print(f"  skew: {skew}", file=sys.stderr)
         if want_curation:
             curation = run_curation(spark)
+        if want_search:
+            search = run_search(spark)
         spark.stop()
 
     scaling = {}
@@ -928,6 +946,7 @@ def main():
         "latency": latency,
         "skew": skew,
         "curation": curation,
+        "search": search,
         "scaling": scaling,
     }
     print(json.dumps(out))

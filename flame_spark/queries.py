@@ -46,6 +46,26 @@ BM25_QUERIES = [
     ("q3", "zzzmissing vector hash"),
 ]
 BM25_K = 10
+# structured-search gates (searchops.py): boolean / phrase / suggest
+BOOL_QUERIES = [
+    ("b0", [("table", "must"), ("scan", "must"), ("merge", "should"),
+            ("vector", "must_not")]),
+    ("b1", [("window", "should"), ("filter", "should")]),
+    ("b2", [("stream", "must"), ("batch", "must"), ("sort", "must"),
+            ("slow", "must_not")]),
+    # must term absent from the corpus -> zero rows for b3 (edge case)
+    ("b3", [("zzzmissing", "must"), ("hash", "should")]),
+]
+PHRASE_QUERIES = [
+    ("ph0", ["table", "scan"]),
+    ("ph1", ["merge", "join"]),
+    # repeated-token phrase: overlapping occurrences must count
+    ("ph2", ["batch", "batch"]),
+    # phrase with an out-of-vocabulary word -> zero rows (edge case)
+    ("ph3", ["stream", "window", "zzzmissing"]),
+]
+SUGGEST_PREFIXES = ["s", "wi", "q"]
+SEARCH_K = 10
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.12
 MINHASH_NUM = 16
@@ -2189,6 +2209,197 @@ FROM conv_docs,
 
 
 # ---------------------------------------------------------------------------
+# structured search: boolean / phrase / prefix-suggest (searchops.py)
+# ---------------------------------------------------------------------------
+
+
+def _word_index(spark, sf_dir):
+    """Shared word-token index bundle for the structured-search gates:
+    (postings, dl, stats_df, stats) — built once per session/sf_dir.
+    Deliberately separate from q_bm25_topk's un-memoized build so the
+    long-green j6 gate's plan and timing are untouched."""
+
+    def build():
+        from .postings import (
+            build_postings, corpus_stats, doc_lengths, term_stats,
+        )
+
+        docs = _docs(spark, sf_dir).withColumn(
+            "tokens", word_tokens_col(F.col("text"))
+        )
+        postings = build_postings(docs, "tokens").persist()
+        dl = doc_lengths(docs, "tokens").persist()
+        stats_df = term_stats(postings).persist()
+        stats = corpus_stats(dl)
+        return postings, dl, stats_df, stats
+
+    return _memo(spark, sf_dir, "word_index", build)
+
+
+def q_boolean_topk(spark, sf_dir):
+    from .searchops import boolean_topk
+
+    postings, dl, stats_df, stats = _word_index(spark, sf_dir)
+    rows = [(qid, t, c) for qid, terms in BOOL_QUERIES for t, c in terms]
+    return boolean_topk(
+        rows, postings, dl, stats_df, stats, BM25_K1, BM25_B, SEARCH_K
+    )
+
+
+def _sql_boolean():
+    qvals = ",\n    ".join(
+        f"('{qid}', '{t}', '{c}')"
+        for qid, terms in BOOL_QUERIES
+        for t, c in terms
+    )
+    nmvals = ",\n    ".join(
+        f"('{qid}', {sum(1 for _, c in terms if c == 'must')})"
+        for qid, terms in BOOL_QUERIES
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term, clause) AS (VALUES
+    {qvals}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         (ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+  WHERE q.clause <> 'must_not'
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+mh AS (
+  SELECT q.query_id, tf.doc_id, count(DISTINCT tf.term) AS mh
+  FROM q JOIN tf USING (term) WHERE q.clause = 'must'
+  GROUP BY q.query_id, tf.doc_id
+),
+nm(query_id, n_must) AS (VALUES
+    {nmvals}),
+neg AS (
+  SELECT DISTINCT q.query_id, tf.doc_id
+  FROM q JOIN tf USING (term) WHERE q.clause = 'must_not'
+),
+cand AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scores s
+  JOIN nm USING (query_id)
+  LEFT JOIN mh ON mh.query_id = s.query_id AND mh.doc_id = s.doc_id
+  WHERE coalesce(mh.mh, 0) = nm.n_must
+    AND NOT EXISTS (
+      SELECT 1 FROM neg
+      WHERE neg.query_id = s.query_id AND neg.doc_id = s.doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
+SQL_BOOLEAN_TOPK = _sql_boolean()
+
+
+def q_phrase_topk(spark, sf_dir):
+    from .searchops import phrase_topk
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "tokens", word_tokens_col(F.col("text"))
+    )
+    return phrase_topk(
+        PHRASE_QUERIES, docs.select("doc_id", "tokens"), SEARCH_K
+    )
+
+
+def _sql_phrase():
+    qvals = ",\n    ".join(
+        f"('{qid}', '{w}', {off}, {len(ws)})"
+        for qid, ws in PHRASE_QUERIES
+        for off, w in enumerate(ws)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+pos AS (
+  SELECT doc_id, u.i::INT - 1 AS pos, tk[u.i::INT] AS term
+  FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)
+),
+q(query_id, term, off, n) AS (VALUES
+    {qvals}),
+m AS (
+  SELECT q.query_id, pos.doc_id, pos.pos - q.off AS st, q.off, q.n
+  FROM pos JOIN q USING (term)
+  WHERE pos.pos - q.off >= 0
+),
+occ AS (
+  SELECT query_id, doc_id, st, n, count(DISTINCT off) AS hits
+  FROM m GROUP BY query_id, doc_id, st, n
+),
+ptf AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS phrase_tf
+  FROM occ WHERE hits = n GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, phrase_tf,
+         row_number() OVER (PARTITION BY query_id ORDER BY phrase_tf DESC, doc_id ASC) AS rank
+  FROM ptf
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, phrase_tf
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
+SQL_PHRASE_TOPK = _sql_phrase()
+
+
+def q_prefix_suggest(spark, sf_dir):
+    from .searchops import prefix_suggest
+
+    _postings, _dl, stats_df, _stats = _word_index(spark, sf_dir)
+    return prefix_suggest(SUGGEST_PREFIXES, stats_df, SEARCH_K)
+
+
+def _sql_suggest():
+    pvals = ",".join(f"('{p}')" for p in SUGGEST_PREFIXES)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+p(prefix) AS (VALUES {pvals}),
+cand AS (
+  SELECT p.prefix, v.term, v.df
+  FROM vocab v JOIN p ON substr(v.term, 1, length(p.prefix)) = p.prefix
+),
+ranked AS (
+  SELECT prefix, term, df,
+         row_number() OVER (PARTITION BY prefix ORDER BY df DESC, term ASC) AS rank
+  FROM cand
+)
+SELECT prefix, rank::BIGINT AS rank, term, df
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
+SQL_PREFIX_SUGGEST = _sql_suggest()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2227,6 +2438,9 @@ QUERIES = {
     "text_stratified_sample": q_stratified_sample,
     "transcript_conv_docs": q_conv_docs,
     "transcript_conv_windows": q_conv_windows,
+    "search_boolean_topk": q_boolean_topk,
+    "search_phrase_topk": q_phrase_topk,
+    "search_prefix_suggest": q_prefix_suggest,
     "ann_cosine_topk": q_ann_bruteforce,
     "events_window5m": q_events_window,
     "stream_events_window5m": q_stream_events_window,
@@ -2280,6 +2494,9 @@ ORACLE_SQL = {
     "text_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "transcript_conv_docs": SQL_CONV_DOCS,
     "transcript_conv_windows": SQL_CONV_WINDOWS,
+    "search_boolean_topk": SQL_BOOLEAN_TOPK,
+    "search_phrase_topk": SQL_PHRASE_TOPK,
+    "search_prefix_suggest": SQL_PREFIX_SUGGEST,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "events_window5m": SQL_EVENTS_WINDOW,
     # the streaming variant must equal the batch aggregation, so it

@@ -1,0 +1,248 @@
+"""Structured-query search surface over the word-token index: boolean
+retrieval, positional phrase search, and prefix suggest.
+
+The reference's query surface is a single free-text BM25 ranking
+(flame.py:1056-1090, re-expressed in bm25.py/wand.py); a full-text
+index at corpus scale also serves STRUCTURED queries. These three
+operators extend the same posting-table data model — (term, doc_id,
+tf) plus doc lengths and term stats — with no new storage format:
+
+- ``boolean_topk``   : Lucene-style must / should / must_not clauses,
+  BM25-scored over the positive clauses (must terms both gate AND
+  score, as in Lucene's BooleanQuery).
+- ``phrase_topk``    : exact-adjacency phrase match counted over token
+  positions (overlapping occurrences included), ranked by phrase tf.
+- ``prefix_suggest`` : type-ahead completion over the vocabulary,
+  ranked by document frequency.
+
+All three are pure DataFrame compositions (zero Python on the row
+path); the oracle SQL twins live in queries.py.
+
+Scale notes (100 TB shapes):
+- boolean: ONE broadcast join (postings x query terms, clause and
+  n_must carried on the broadcast rows) feeding ONE (query_id, doc_id)
+  aggregate that computes score, must-count, and negated flag
+  together — a single shuffle over matched postings, no join on
+  aggregate results, no per-clause passes.
+- phrase: the posexplode stream is pruned by the broadcast join on the
+  phrase terms BEFORE any shuffle, so shuffled rows are proportional
+  to matched-term occurrences, not corpus tokens; one explicit
+  repartition on (query_id, doc_id) then lets BOTH the per-start
+  adjacency count and the per-doc phrase tf aggregate run
+  shuffle-free (hash(q,d) clusters every (q,d,start) group).
+- prefix: prefixes are grouped by length so each group is a broadcast
+  HASH equi-join on substring(term, 1, L) — no nested-loop scan per
+  prefix, one vocab pass per distinct prefix length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .bm25 import _det_sum
+from .postings import CorpusStats
+
+
+def boolean_topk(
+    qdefs_rows: list[tuple],
+    postings: DataFrame,
+    dl: DataFrame,
+    stats_df: DataFrame,
+    stats: CorpusStats,
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """Boolean BM25 top-k.
+
+    qdefs_rows: [(query_id, term, clause)] with clause in
+    {'must', 'should', 'must_not'}; a term may appear in only ONE
+    clause per query. A doc is a candidate iff it contains EVERY must
+    term and NO must_not term; its score is the BM25 sum (qtf=1) over
+    the must+should terms it contains (must terms gate AND score, as
+    in Lucene's BooleanQuery). Ties break doc_id-ascending.
+    -> (query_id, rank, doc_id, score) with score rounded to 6 dp.
+
+    ONE pass over the postings: the broadcast query side carries
+    clause + n_must per row, so a single (query_id, doc_id) aggregate
+    produces the score, the matched-must count, and the negated flag
+    together — no per-clause joins, no join on the aggregate results.
+    must_not matches contribute exactly 0.0 inside the deterministic
+    term-ordered fold (adding 0.0 to the positive partial sums is a
+    bitwise no-op), so the score equals score_bm25 over the positive
+    clauses bit-for-bit.
+    """
+    from .floatops import np_log
+
+    spark = postings.sparkSession
+    n_must: dict[str, int] = {}
+    for qid, _t, clause in qdefs_rows:
+        n_must.setdefault(qid, 0)
+        if clause == "must":
+            n_must[qid] += 1
+    if len({(q, t) for q, t, _ in qdefs_rows}) != len(qdefs_rows):
+        raise ValueError("boolean_topk: duplicate (query_id, term)")
+    qdefs = spark.createDataFrame(
+        [(q, t, c, n_must[q]) for q, t, c in qdefs_rows],
+        "query_id string, term string, clause string, n_must int",
+    )
+    n, avgdl = float(stats.n_docs), float(stats.avgdl)
+    # idf per query term (tiny result: qdefs is broadcast into the
+    # corpus-sized stats; absent terms drop out — they can match no doc)
+    q_idf = stats_df.join(F.broadcast(qdefs), "term", "inner").select(
+        "term", "query_id", "clause", "n_must",
+        np_log(
+            (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    joined = postings.join(dl, "doc_id").join(F.broadcast(q_idf), "term")
+    denom_dl = 1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl)
+    tf_comp = (F.col("tf") * (k1 + 1.0)) / (F.col("tf") + F.lit(k1) * denom_dl)
+    contrib = F.when(
+        F.col("clause") != "must_not", F.col("idf") * tf_comp
+    ).otherwise(F.lit(0.0))
+    agg = (
+        joined.select(
+            "query_id",
+            "doc_id",
+            "clause",
+            "n_must",
+            F.col("term").alias("t"),
+            contrib.alias("val"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias(
+                "score"
+            ),
+            F.countDistinct(
+                F.when(F.col("clause") == "must", F.col("t"))
+            ).alias("mh"),
+            F.max(
+                F.when(F.col("clause") == "must_not", 1).otherwise(0)
+            ).alias("negged"),
+            F.first("n_must").alias("n_must"),
+        )
+    )
+    cand = agg.where(
+        (F.col("mh") == F.col("n_must")) & (F.col("negged") == 0)
+    )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def phrase_topk(
+    phrase_rows: list[tuple], docs_tokens: DataFrame, k: int
+) -> DataFrame:
+    """Positional phrase top-k.
+
+    phrase_rows: [(query_id, [w0, w1, ...])] — each phrase is an exact
+    token-adjacency match; OVERLAPPING occurrences count ("batch batch"
+    occurs twice in "batch batch batch"), which is why the count is
+    positional, not a substring split. docs_tokens: (doc_id, tokens).
+    -> (query_id, rank, doc_id, phrase_tf), ranked phrase_tf desc then
+    doc_id asc; docs with zero occurrences are absent.
+
+    A phrase of length n occurs at start s iff token s+off equals
+    phrase[off] for every off — so each matched (term, position) pair
+    votes for start = pos - off, and a start with all n distinct
+    offsets present is an occurrence.
+    """
+    spark = docs_tokens.sparkSession
+    rows = [
+        (qid, w, off, len(ws))
+        for qid, ws in phrase_rows
+        for off, w in enumerate(ws)
+    ]
+    pterms = spark.createDataFrame(
+        rows, "query_id string, term string, off int, n int"
+    )
+    pos = docs_tokens.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "term")
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    m = (
+        pos.join(F.broadcast(pterms), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("pos") - F.col("off")).alias("start"),
+            "off",
+            "n",
+        )
+        .where(F.col("start") >= 0)
+        # one exchange for BOTH aggregations below: hash(q, d) clusters
+        # every (q, d, start) group and every (q, d) group
+        .repartition(n_parts, "query_id", "doc_id")
+    )
+    occ = (
+        m.groupBy("query_id", "doc_id", "start", "n")
+        .agg(F.countDistinct("off").alias("hits"))
+        .where(F.col("hits") == F.col("n"))
+    )
+    ptf = occ.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("phrase_tf")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("phrase_tf"), F.asc("doc_id")
+    )
+    return (
+        ptf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "phrase_tf",
+        )
+    )
+
+
+def prefix_suggest(
+    prefixes: list[str], stats_df: DataFrame, k: int
+) -> DataFrame:
+    """Type-ahead completion: for each prefix, the top-k vocabulary
+    terms starting with it, ranked df desc then term asc.
+    stats_df: (term, df, cf) from postings.term_stats.
+    -> (prefix, rank, term, df).
+
+    Prefixes are grouped by length so each group joins as a broadcast
+    HASH join on substring(term, 1, L) — a 3-prefix suggest is a few
+    vocab passes, never a per-row nested loop.
+    """
+    spark = stats_df.sparkSession
+    by_len: dict[int, list[str]] = {}
+    for p in prefixes:
+        by_len.setdefault(len(p), []).append(p)
+    parts = []
+    for length, group in sorted(by_len.items()):
+        pdf = spark.createDataFrame([(p,) for p in group], "prefix string")
+        parts.append(
+            stats_df.withColumn(
+                "prefix", F.substring(F.col("term"), 1, length)
+            ).join(F.broadcast(pdf), "prefix")
+        )
+    cand = parts[0]
+    for more in parts[1:]:
+        cand = cand.unionByName(more)
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "prefix",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("df").cast("long").alias("df"),
+        )
+    )

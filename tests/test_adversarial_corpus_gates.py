@@ -74,6 +74,12 @@ SIMPLE_GATES = [
     # code-point parity (vs UTF-16) on astral-plane + combining chars
     "transcript_conv_docs",
     "transcript_conv_windows",
+    # structured search shares the simple norm/tokens contract; phrase
+    # additionally stresses positional parity (posexplode vs range())
+    # and boolean the BM25 dl/avgdl semantics on degenerate docs
+    "search_boolean_topk",
+    "search_phrase_topk",
+    "search_prefix_suggest",
 ]
 FULL_PIPELINE_GATES = ["wand_topk_lno", "wand_serve_batch"]
 
