@@ -150,6 +150,9 @@ SEARCH = [
     "search_boolean_topk",
     "search_phrase_topk",
     "search_prefix_suggest",
+    # index-layer boolean: shares the memoized LNO segment index with
+    # the headline WAND gates (charged to whichever builds it first)
+    "wand_boolean_lno",
 ]
 
 

@@ -275,6 +275,64 @@ def wand_bm25_topk(
     )
 
 
+def wand_boolean_topk(
+    spark: SparkSession,
+    bool_queries: list[dict],
+    index,
+    segments: DataFrame,
+    k: int = 10,
+    exclude_docs=None,
+) -> DataFrame:
+    """Boolean (must / should / must_not) BM25 top-k over segments.
+
+    bool_queries: [{"query_id": ..., "must": text, "should": text,
+    "must_not": text}] — each clause text runs through the SAME
+    normalize/tokenize/shingle pipeline as a free-text query
+    (query_term_rows), so in ``lno`` term mode a clause contributes
+    its n-gram FEATURES: must = docs containing every feature of the
+    must text, must_not = docs containing none of that text's
+    features, scoring over must+should features with the stored
+    per-posting scores. A feature landing in two clauses of one query
+    is a semantic contradiction — refused loudly (choose clause texts
+    with disjoint vocabulary). A clause shorter than the n-gram window
+    yields zero features and is a no-op (a featureless must degrades
+    to pure-OR over should, exactly like an empty must clause).
+    -> (query_id, rank, doc_id, score)."""
+    from .wand import wand_boolean
+
+    rows: list[tuple] = []
+    for q in bool_queries:
+        qid = q["query_id"]
+        per_clause: dict[str, list[tuple]] = {}
+        for clause in ("must", "should", "must_not"):
+            text = q.get(clause) or ""
+            if not text:
+                continue
+            per_clause[clause] = query_term_rows(
+                [{"query_id": qid, "query_text": text}], index
+            )
+        seen: dict = {}
+        n_must = len({t for (_q, t, _c) in per_clause.get("must", ())})
+        for clause, crows in per_clause.items():
+            for _qid, term, qtf in crows:
+                if term in seen:
+                    raise ValueError(
+                        f"wand_boolean_topk: query {qid!r} term {term} "
+                        f"appears in both {seen[term]!r} and {clause!r}"
+                    )
+                seen[term] = clause
+                rows.append((qid, term, int(qtf), clause, n_must))
+    term_type = "long" if index.cfg.term_mode == "lno" else "string"
+    qclauses = spark.createDataFrame(
+        rows,
+        f"query_id string, term {term_type}, qtf int, clause string, "
+        "n_must int",
+    )
+    return wand_boolean(
+        qclauses, segments, k, index.cfg.block_size, exclude_docs
+    )
+
+
 def wand_bm25_serve(
     queries: list[dict],
     index,

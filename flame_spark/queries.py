@@ -66,6 +66,17 @@ PHRASE_QUERIES = [
 ]
 SUGGEST_PREFIXES = ["s", "wi", "q"]
 SEARCH_K = 10
+# boolean retrieval over the LNO segment index (wand.wand_boolean):
+# clause vocabularies are DISJOINT within each query — a feature in
+# two clauses of one query is a contradiction the engine refuses
+BOOL_LNO_QUERIES = [
+    {"query_id": "wb0", "must": "table scan merge",
+     "should": "join order sort", "must_not": "vector hash stream"},
+    {"query_id": "wb1", "must": "",
+     "should": "window filter stream batch", "must_not": "table scan merge"},
+    {"query_id": "wb2", "must": "slow query filter",
+     "should": "fast big row", "must_not": ""},
+]
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.12
 MINHASH_NUM = 16
@@ -1597,6 +1608,126 @@ def q_wand_topk_lno(spark, sf_dir):
     )
 
 
+def q_wand_boolean_lno(spark, sf_dir):
+    """Boolean retrieval at the INDEX layer: must/should/must_not
+    clause texts -> LNO features -> per-shard must-intersection /
+    must_not-exclusion -> block-max WAND over the surviving candidates
+    (wand.wand_boolean). Fully SQL-expressible, so unlike the plain
+    WAND gate it gets a complete value oracle: exhaustive boolean BM25
+    over the same LNO term space."""
+    from .pipeline import wand_boolean_topk
+
+    serving, segments = _lno_index(spark, sf_dir)
+    return wand_boolean_topk(
+        spark, BOOL_LNO_QUERIES, serving, segments, k=BM25_K
+    ).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _sql_wand_boolean_lno():
+    """Oracle twin for the boolean-WAND engine path: exhaustive BM25
+    over the LNO(3,1) term space restricted to docs holding EVERY must
+    feature and NO must_not feature. Same contract scope as
+    _sql_wand_lno (simple-norm twin, coincides on committed corpora)."""
+    vals = []
+    for q in BOOL_LNO_QUERIES:
+        for clause in ("must", "should", "must_not"):
+            for i, t in enumerate(_qtoks(q.get(clause) or "")):
+                vals.append(f"('{q['query_id']}', '{clause}', {i}, '{t}')")
+    values = ",\n    ".join(vals)
+    allq = ",".join(f"('{q['query_id']}')" for q in BOOL_LNO_QUERIES)
+    return f"""
+WITH {_LNO_CTES},
+p AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM feats GROUP BY doc_id, term),
+dl AS (SELECT doc_id, (3 * greatest(len(tk) - 2, 0))::DOUBLE AS dl FROM toks),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY term),
+qtok(query_id, clause, qpos, tok) AS (VALUES
+    {values}),
+qids AS (
+  SELECT q.query_id, q.clause, q.qpos, vocab.tid
+  FROM qtok q JOIN vocab USING (tok)
+),
+qseq AS (
+  SELECT query_id, clause, tid::HUGEINT AS tid,
+         row_number() OVER (PARTITION BY query_id, clause ORDER BY qpos) AS rn
+  FROM qids
+),
+qtrip AS (
+  SELECT a.query_id, a.clause, a.tid AS t0, b.tid AS t1, c.tid AS t2
+  FROM qseq a
+  JOIN qseq b ON b.query_id = a.query_id AND b.clause = a.clause AND b.rn = a.rn + 1
+  JOIN qseq c ON c.query_id = a.query_id AND c.clause = a.clause AND c.rn = a.rn + 2
+),
+qfeats AS (
+  SELECT query_id, clause, ((t0 + (SELECT v FROM vc) * t1) % {MOD})::BIGINT AS term FROM qtrip
+  UNION ALL
+  SELECT query_id, clause, ((t0 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM qtrip
+  UNION ALL
+  SELECT query_id, clause, ((t1 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM qtrip
+),
+q AS (
+  SELECT query_id, clause, term, count(*)::DOUBLE AS qtf
+  FROM qfeats GROUP BY query_id, clause, term
+),
+nmust AS (
+  SELECT query_id, count(DISTINCT term) AS n_must
+  FROM q WHERE clause = 'must' GROUP BY query_id
+),
+allq(query_id) AS (VALUES {allq}),
+nm AS (
+  SELECT allq.query_id, coalesce(nmust.n_must, 0) AS n_must
+  FROM allq LEFT JOIN nmust USING (query_id)
+),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * (ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+           * (p.tf * ({BM25_K1} + 1.0)
+              / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN dfr USING (term)
+  JOIN p USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  WHERE q.clause <> 'must_not'
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+mc AS (
+  SELECT q.query_id, p.doc_id, count(DISTINCT q.term) AS mh
+  FROM q JOIN p USING (term) WHERE q.clause = 'must'
+  GROUP BY q.query_id, p.doc_id
+),
+neg AS (
+  SELECT DISTINCT q.query_id, p.doc_id
+  FROM q JOIN p USING (term) WHERE q.clause = 'must_not'
+),
+cand AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scores s
+  JOIN nm USING (query_id)
+  LEFT JOIN mc ON mc.query_id = s.query_id AND mc.doc_id = s.doc_id
+  WHERE coalesce(mc.mh, 0) = nm.n_must
+    AND NOT EXISTS (
+      SELECT 1 FROM neg
+      WHERE neg.query_id = s.query_id AND neg.doc_id = s.doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+SQL_WAND_BOOLEAN_LNO = _sql_wand_boolean_lno()
+
+
 def q_wand_serve_batch(spark, sf_dir):
     """Batch SERVING path: the shard-partitioned, term-sorted segment
     cache (wand.segments_for_serving) scored by ONE job for the whole
@@ -2452,6 +2583,7 @@ QUERIES = {
     "a8_otsu_threshold": q_otsu_threshold,
     "wand_topk_lno": q_wand_topk_lno,
     "wand_serve_batch": q_wand_serve_batch,
+    "wand_boolean_lno": q_wand_boolean_lno,
     "ann_ivf_topk": q_ann_ivf,
     "t3_bpe_tokens": q_bpe_tokens,
     "inc_merge_segments": q_incremental_merge,
@@ -2513,6 +2645,9 @@ ORACLE_SQL = {
     # result, so it shares the same exhaustive-BM25 oracle — cache
     # layout, shared decode and per-query merge are value-checked
     "wand_serve_batch": SQL_WAND_TOPK_LNO,
+    # boolean retrieval over the segment index IS SQL-expressible
+    # (exhaustive boolean BM25 over the LNO term space) — full oracle
+    "wand_boolean_lno": SQL_WAND_BOOLEAN_LNO,
     # deterministic engine paths with committed fixture-parquet oracles
     # (tools/gen_fixture_oracles.py): mm features are seeded constants;
     # the autotune row is keyed by a live digest of its 30-doc sample,

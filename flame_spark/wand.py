@@ -127,19 +127,28 @@ def _wand_core(
     qtfs: list[float],
     k: int,
     exclude: np.ndarray | None = None,
+    candidates: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """The block-max WAND math over pre-decoded per-term arrays.
     ``entries``: [(docs, scores, block_first_docs, block_max), ...] in
     ASCENDING term order (the deterministic fold order); ``qtfs``: the
-    matching query term frequencies."""
+    matching query term frequencies. ``candidates``: optional sorted
+    doc-id array restricting the candidate set (boolean retrieval:
+    must-intersection minus must_not union) — the bound/theta pruning
+    math is unchanged, it just runs over fewer docs."""
     term_docs = [e[0] for e in entries]
     term_scores = [e[1] for e in entries]
     term_qtf = qtfs
     term_bfirst = [e[2] for e in entries]  # first doc of each block
     term_bmax = [e[3] for e in entries]
 
-    # candidate docs = union of posting docs in this shard
-    all_docs = np.unique(np.concatenate(term_docs))
+    # candidate docs = union of posting docs in this shard, unless the
+    # caller already narrowed them (boolean gating)
+    all_docs = (
+        candidates
+        if candidates is not None
+        else np.unique(np.concatenate(term_docs))
+    )
     if exclude is not None and exclude.size and all_docs.size:
         all_docs = all_docs[np.isin(all_docs, exclude, invert=True)]
     if all_docs.size == 0:
@@ -444,6 +453,118 @@ def wand_topk(
         "block_max",
     )
     partial = wand_topk_per_shard(qseg, k, block_size, exclude_bc)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+_EMPTY_TOPK = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+
+
+def _boolean_shard_kernel(
+    pdf: pd.DataFrame, k: int, block_size: int,
+    exclude: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Boolean retrieval over ONE shard's matching segment rows
+    (columns term, qtf, clause, n_must, doc_deltas, scores, block_max)
+    -> (top docs, scores).
+
+    Candidate docs = intersection of the must terms' posting docs
+    (union of ALL positive terms' docs when the query has no must
+    clause), minus the union of must_not docs; scoring then runs the
+    unchanged block-max WAND core over the positive entries restricted
+    to those candidates. A doc lives in exactly one doc-range shard,
+    so the per-shard intersection is complete. ``n_must`` is the
+    query's GLOBAL distinct must-term count: a must term with no
+    postings in this shard (or in the whole index) makes the
+    intersection unsatisfiable here — fewer must rows than n_must
+    short-circuits to empty."""
+    pdf = pdf.sort_values("term")
+    n_must = int(pdf["n_must"].iloc[0])
+    must_docs: list[np.ndarray] = []
+    neg_docs: list[np.ndarray] = []
+    pos_entries: list[tuple] = []
+    qtfs: list[float] = []
+    for term, qtf, clause, dd, sc, bm in zip(
+        pdf["term"].values, pdf["qtf"].values, pdf["clause"].values,
+        pdf["doc_deltas"].values, pdf["scores"].values,
+        pdf["block_max"].values,
+    ):
+        entry = _decode_posting(dd, sc, bm, block_size)
+        if clause == "must_not":
+            neg_docs.append(entry[0])
+            continue
+        pos_entries.append(entry)
+        qtfs.append(float(qtf))
+        if clause == "must":
+            must_docs.append(entry[0])
+    if len(must_docs) < n_must or not pos_entries:
+        return _EMPTY_TOPK
+    if must_docs:
+        cand = must_docs[0]
+        for d in must_docs[1:]:
+            # posting doc arrays are sorted unique (cumsum of deltas)
+            cand = np.intersect1d(cand, d, assume_unique=True)
+    else:
+        cand = np.unique(np.concatenate([e[0] for e in pos_entries]))
+    if neg_docs and cand.size:
+        neg = np.concatenate(neg_docs)
+        cand = cand[np.isin(cand, neg, invert=True)]
+    if cand.size == 0:
+        return _EMPTY_TOPK
+    return _wand_core(pos_entries, qtfs, k, exclude, candidates=cand)
+
+
+def wand_boolean(
+    qclauses: DataFrame,
+    segments: DataFrame,
+    k: int,
+    block_size: int,
+    exclude_docs=None,
+) -> DataFrame:
+    """Boolean (must / should / must_not) top-k over the compressed
+    segment index, BM25-ranked with block-max WAND pruning.
+
+    qclauses: (query_id, term, qtf, clause, n_must) — one row per
+    query term, ``clause`` in {'must', 'should', 'must_not'},
+    ``n_must`` the query-constant distinct must-term count (carried on
+    every row so the per-shard kernel needs no side lookup). A term
+    must appear in only ONE clause per query (pipeline.
+    wand_boolean_topk enforces this loudly). Scores equal the BM25 sum
+    of the stored per-posting scores over the positive clauses — the
+    same stored-score math as wand_topk, so results are rank- and
+    bit-identical to exhaustive scoring restricted to the boolean
+    candidate set. Same (score desc, doc_id asc) tie-break.
+    -> (query_id, rank, doc_id, score) global top-k."""
+    exclude_bc = None
+    arr = _normalize_exclude(exclude_docs)
+    if arr is not None:
+        exclude_bc = segments.sparkSession.sparkContext.broadcast(arr)
+    qseg = segments.join(F.broadcast(qclauses), "term", "inner").select(
+        "query_id", "shard", "term", "qtf", "clause", "n_must",
+        "doc_deltas", "scores", "block_max",
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = pdf["query_id"].iloc[0]
+        excl = exclude_bc.value if exclude_bc is not None else None
+        top_docs, top_scores = _boolean_shard_kernel(
+            pdf, k, block_size, excl
+        )
+        return pd.DataFrame(
+            {
+                "query_id": query_id,
+                "doc_id": top_docs.astype(np.int64),
+                "score": top_scores,
+            }
+        )
+
+    partial = qseg.groupBy("query_id", "shard").applyInPandas(
+        score_group, schema="query_id string, doc_id long, score double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))

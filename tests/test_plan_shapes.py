@@ -99,6 +99,26 @@ def test_wand_query_join_broadcasts_query_terms(spark):
     ]
     assert not any("hashpartitioning(term" in l for l in ensure), ensure
     assert len(ensure) == 2, ensure
+    # boolean retrieval shares the same join/grouping skeleton: tiny
+    # clause table broadcast, segments never shuffled on `term`
+    from flame_spark.pipeline import wand_boolean_topk
+
+    segments.persist().count()
+    bool_plan = _plan(
+        wand_boolean_topk(
+            spark,
+            [{"query_id": "b", "must": "table scan merge",
+              "should": "join order sort"}],
+            serving, segments, k=5,
+        )
+    )
+    segments.unpersist()
+    assert "BroadcastHashJoin" in bool_plan and "BuildRight" in bool_plan
+    b_ensure = [
+        l for l in bool_plan.splitlines() if "ENSURE_REQUIREMENTS" in l
+    ]
+    assert not any("hashpartitioning(term" in l for l in b_ensure), b_ensure
+    assert len(b_ensure) == 2, b_ensure
 
 
 def test_whole_stage_codegen_on_t5_hot_path(spark, queries):
