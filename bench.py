@@ -153,6 +153,7 @@ SEARCH = [
     # index-layer boolean: shares the memoized LNO segment index with
     # the headline WAND gates (charged to whichever builds it first)
     "wand_boolean_lno",
+    "wand_boolean_serve",
 ]
 
 

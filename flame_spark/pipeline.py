@@ -275,6 +275,38 @@ def wand_bm25_topk(
     )
 
 
+def boolean_clause_rows(bool_queries: list[dict], index) -> list[tuple]:
+    """Driver-side clause processing shared by the distributed and the
+    serving boolean paths: each clause text runs through the SAME
+    query pipeline as a free-text query (query_term_rows), a feature
+    landing in two clauses of one query is refused loudly, and n_must
+    (the query's distinct must-feature count) is carried on every row.
+    -> [(query_id, term, qtf, clause, n_must), ...]."""
+    rows: list[tuple] = []
+    for q in bool_queries:
+        qid = q["query_id"]
+        per_clause: dict[str, list[tuple]] = {}
+        for clause in ("must", "should", "must_not"):
+            text = q.get(clause) or ""
+            if not text:
+                continue
+            per_clause[clause] = query_term_rows(
+                [{"query_id": qid, "query_text": text}], index
+            )
+        seen: dict = {}
+        n_must = len({t for (_q, t, _c) in per_clause.get("must", ())})
+        for clause, crows in per_clause.items():
+            for _qid, term, qtf in crows:
+                if term in seen:
+                    raise ValueError(
+                        f"boolean query {qid!r}: term {term} "
+                        f"appears in both {seen[term]!r} and {clause!r}"
+                    )
+                seen[term] = clause
+                rows.append((qid, term, int(qtf), clause, n_must))
+    return rows
+
+
 def wand_boolean_topk(
     spark: SparkSession,
     bool_queries: list[dict],
@@ -300,28 +332,7 @@ def wand_boolean_topk(
     -> (query_id, rank, doc_id, score)."""
     from .wand import wand_boolean
 
-    rows: list[tuple] = []
-    for q in bool_queries:
-        qid = q["query_id"]
-        per_clause: dict[str, list[tuple]] = {}
-        for clause in ("must", "should", "must_not"):
-            text = q.get(clause) or ""
-            if not text:
-                continue
-            per_clause[clause] = query_term_rows(
-                [{"query_id": qid, "query_text": text}], index
-            )
-        seen: dict = {}
-        n_must = len({t for (_q, t, _c) in per_clause.get("must", ())})
-        for clause, crows in per_clause.items():
-            for _qid, term, qtf in crows:
-                if term in seen:
-                    raise ValueError(
-                        f"wand_boolean_topk: query {qid!r} term {term} "
-                        f"appears in both {seen[term]!r} and {clause!r}"
-                    )
-                seen[term] = clause
-                rows.append((qid, term, int(qtf), clause, n_must))
+    rows = boolean_clause_rows(bool_queries, index)
     term_type = "long" if index.cfg.term_mode == "lno" else "string"
     qclauses = spark.createDataFrame(
         rows,
@@ -330,6 +341,36 @@ def wand_boolean_topk(
     )
     return wand_boolean(
         qclauses, segments, k, index.cfg.block_size, exclude_docs
+    )
+
+
+def wand_boolean_serve_batch(
+    bool_queries: list[dict],
+    index,
+    segments_sharded: DataFrame,
+    k: int = 10,
+    exclude_docs=None,
+) -> list[tuple]:
+    """Batched boolean serving over the shard-partitioned segment
+    cache: driver-side clause pipeline (boolean_clause_rows) + ONE
+    Spark job for the whole query set (wand.wand_boolean_serve_batch).
+    Identical results to ``wand_boolean_topk`` (tested). Returns
+    [(query_id, rank, doc_id, score), ...]."""
+    from .wand import wand_boolean_serve_batch as _serve
+
+    rows = boolean_clause_rows(bool_queries, index)
+    by_q: dict = {}
+    nm: dict = {}
+    for qid, term, qtf, clause, n_must in rows:
+        by_q.setdefault(qid, []).append((term, qtf, clause))
+        nm[qid] = n_must
+    queries_clauses = [
+        (q["query_id"], nm.get(q["query_id"], 0), by_q.get(q["query_id"], []))
+        for q in bool_queries
+    ]
+    return _serve(
+        queries_clauses, segments_sharded, k, index.cfg.block_size,
+        exclude_docs,
     )
 
 

@@ -1728,6 +1728,29 @@ FROM ranked WHERE rank <= {BM25_K}
 SQL_WAND_BOOLEAN_LNO = _sql_wand_boolean_lno()
 
 
+def q_wand_boolean_serve(spark, sf_dir):
+    """Batched boolean SERVING: the shard-partitioned segment cache
+    scored by one job for the whole boolean query set. Defined to
+    equal the distributed boolean gate, so it shares the exhaustive
+    boolean-BM25 oracle — cache layout, shared decode, candidate
+    gating and driver merge are value-checked end to end."""
+    from .pipeline import wand_boolean_serve_batch
+    from .wand import segments_for_serving
+
+    serving, segments = _lno_index(spark, sf_dir)
+
+    def build():
+        return segments_for_serving(segments, 8)
+
+    cache = _memo(spark, sf_dir, "lno_serve_cache", build)
+    rows = wand_boolean_serve_batch(BOOL_LNO_QUERIES, serving, cache, k=BM25_K)
+    return spark.createDataFrame(
+        rows, "query_id string, rank long, doc_id long, score double"
+    ).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_wand_serve_batch(spark, sf_dir):
     """Batch SERVING path: the shard-partitioned, term-sorted segment
     cache (wand.segments_for_serving) scored by ONE job for the whole
@@ -2584,6 +2607,7 @@ QUERIES = {
     "wand_topk_lno": q_wand_topk_lno,
     "wand_serve_batch": q_wand_serve_batch,
     "wand_boolean_lno": q_wand_boolean_lno,
+    "wand_boolean_serve": q_wand_boolean_serve,
     "ann_ivf_topk": q_ann_ivf,
     "t3_bpe_tokens": q_bpe_tokens,
     "inc_merge_segments": q_incremental_merge,
@@ -2646,8 +2670,11 @@ ORACLE_SQL = {
     # layout, shared decode and per-query merge are value-checked
     "wand_serve_batch": SQL_WAND_TOPK_LNO,
     # boolean retrieval over the segment index IS SQL-expressible
-    # (exhaustive boolean BM25 over the LNO term space) — full oracle
+    # (exhaustive boolean BM25 over the LNO term space) — full oracle;
+    # the batched boolean SERVING path is defined to equal it, so it
+    # shares the same oracle (as wand_serve_batch does for plain WAND)
     "wand_boolean_lno": SQL_WAND_BOOLEAN_LNO,
+    "wand_boolean_serve": SQL_WAND_BOOLEAN_LNO,
     # deterministic engine paths with committed fixture-parquet oracles
     # (tools/gen_fixture_oracles.py): mm features are seeded constants;
     # the autotune row is keyed by a live digest of its 30-doc sample,

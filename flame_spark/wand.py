@@ -422,6 +422,133 @@ def wand_topk_serve_batch(
     return out
 
 
+def _boolean_candidates(decoded: dict, rows: list, n_must: int):
+    """Candidate doc array for one query over one shard's decoded
+    postings, or None when the query is unsatisfiable here. rows:
+    [(term, qtf, clause)] in ascending-term order; ``decoded`` maps
+    term -> (docs, scores, block_first, block_max). Returns
+    (pos_entries, qtfs, candidates)."""
+    must_docs = []
+    neg_docs = []
+    pos_entries, qtfs = [], []
+    n_must_present = 0
+    for term, qtf, clause in rows:
+        entry = decoded.get(term)
+        if entry is None:
+            continue
+        if clause == "must_not":
+            neg_docs.append(entry[0])
+            continue
+        pos_entries.append(entry)
+        qtfs.append(float(qtf))
+        if clause == "must":
+            must_docs.append(entry[0])
+            n_must_present += 1
+    if n_must_present < n_must or not pos_entries:
+        return None
+    if must_docs:
+        cand = must_docs[0]
+        for d in must_docs[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+    else:
+        cand = np.unique(np.concatenate([e[0] for e in pos_entries]))
+    if neg_docs and cand.size:
+        neg = np.concatenate(neg_docs)
+        cand = cand[np.isin(cand, neg, invert=True)]
+    if cand.size == 0:
+        return None
+    return pos_entries, qtfs, cand
+
+
+def wand_boolean_serve_batch(
+    queries_clauses: list[tuple],
+    segments_sharded: DataFrame,
+    k: int,
+    block_size: int,
+    exclude_docs=None,
+) -> list[tuple]:
+    """Batched boolean serving: N boolean queries in ONE Spark job over
+    the term-sorted segment cache — the boolean twin of
+    ``wand_topk_serve_batch`` (same decode-once-per-shard sharing, same
+    broadcast query map and exclude array, same driver merge), with
+    per-query candidate gating via ``_boolean_candidates``. Results are
+    IDENTICAL to the distributed ``wand_boolean`` — same kernel math,
+    same ascending-term fold, same (score desc, doc_id asc) tie-break
+    (tested).
+
+    queries_clauses: [(query_id, n_must, [(term, qtf, clause), ...])].
+    Returns [(query_id, rank, doc_id, score), ...] in input order."""
+    excl = _normalize_exclude(exclude_docs)
+    qmap = [
+        (qid, int(n_must), sorted(rows))
+        for qid, n_must, rows in queries_clauses
+        if rows
+    ]
+    if not qmap:
+        return []
+    if len({qid for qid, _n, _r in qmap}) != len(qmap):
+        raise ValueError("wand_boolean_serve_batch: duplicate query_id")
+    all_terms = sorted({t for _, _, rows in qmap for t, _, _ in rows})
+    seg = _batch_term_filter(segments_sharded, all_terms).select(
+        "shard", "term", "doc_deltas", "scores", "block_max"
+    )
+    spark = segments_sharded.sparkSession
+    excl_bc = spark.sparkContext.broadcast(excl)
+    qmap_bc = spark.sparkContext.broadcast(qmap)
+
+    def score_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        outs = []
+        excl_local = excl_bc.value
+        for _, grp in pdf.groupby("shard", sort=False):
+            decoded = {
+                t: _decode_posting(dd, sc, bm, block_size)
+                for t, dd, sc, bm in zip(
+                    grp["term"].values, grp["doc_deltas"].values,
+                    grp["scores"].values, grp["block_max"].values,
+                )
+            }
+            for qid, n_must, rows in qmap_bc.value:
+                got = _boolean_candidates(decoded, rows, n_must)
+                if got is None:
+                    continue
+                pos_entries, qtfs, cand = got
+                docs, scores = _wand_core(
+                    pos_entries, qtfs, k, excl_local, candidates=cand
+                )
+                if docs.size:
+                    outs.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "doc_id": docs, "score": scores}
+                        )
+                    )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    rows_out = seg.mapInPandas(
+        score_partition, schema="query_id string, doc_id long, score double"
+    ).collect()
+    by_q: dict[str, list[tuple]] = {}
+    for r in rows_out:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    out: list[tuple] = []
+    for qid, _n, _r in qmap:
+        hits = by_q.get(qid)
+        if not hits:
+            continue
+        doc = np.array([d for d, _ in hits], dtype=np.int64)
+        sc = np.array([s for _, s in hits], dtype=np.float64)
+        idx = np.lexsort((doc, -sc))[:k]  # score desc, doc_id asc
+        out.extend(
+            (qid, rank + 1, int(doc[i]), float(sc[i]))
+            for rank, i in enumerate(idx)
+        )
+    return out
+
+
 def wand_topk(
     qterms: DataFrame,
     segments: DataFrame,
@@ -484,37 +611,20 @@ def _boolean_shard_kernel(
     short-circuits to empty."""
     pdf = pdf.sort_values("term")
     n_must = int(pdf["n_must"].iloc[0])
-    must_docs: list[np.ndarray] = []
-    neg_docs: list[np.ndarray] = []
-    pos_entries: list[tuple] = []
-    qtfs: list[float] = []
-    for term, qtf, clause, dd, sc, bm in zip(
-        pdf["term"].values, pdf["qtf"].values, pdf["clause"].values,
-        pdf["doc_deltas"].values, pdf["scores"].values,
-        pdf["block_max"].values,
-    ):
-        entry = _decode_posting(dd, sc, bm, block_size)
-        if clause == "must_not":
-            neg_docs.append(entry[0])
-            continue
-        pos_entries.append(entry)
-        qtfs.append(float(qtf))
-        if clause == "must":
-            must_docs.append(entry[0])
-    if len(must_docs) < n_must or not pos_entries:
+    decoded = {
+        t: _decode_posting(dd, sc, bm, block_size)
+        for t, dd, sc, bm in zip(
+            pdf["term"].values, pdf["doc_deltas"].values,
+            pdf["scores"].values, pdf["block_max"].values,
+        )
+    }
+    rows = list(
+        zip(pdf["term"].values, pdf["qtf"].values, pdf["clause"].values)
+    )
+    got = _boolean_candidates(decoded, rows, n_must)
+    if got is None:
         return _EMPTY_TOPK
-    if must_docs:
-        cand = must_docs[0]
-        for d in must_docs[1:]:
-            # posting doc arrays are sorted unique (cumsum of deltas)
-            cand = np.intersect1d(cand, d, assume_unique=True)
-    else:
-        cand = np.unique(np.concatenate([e[0] for e in pos_entries]))
-    if neg_docs and cand.size:
-        neg = np.concatenate(neg_docs)
-        cand = cand[np.isin(cand, neg, invert=True)]
-    if cand.size == 0:
-        return _EMPTY_TOPK
+    pos_entries, qtfs, cand = got
     return _wand_core(pos_entries, qtfs, k, exclude, candidates=cand)
 
 

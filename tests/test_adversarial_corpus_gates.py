@@ -81,7 +81,12 @@ SIMPLE_GATES = [
     "search_phrase_topk",
     "search_prefix_suggest",
 ]
-FULL_PIPELINE_GATES = ["wand_topk_lno", "wand_serve_batch", "wand_boolean_lno"]
+FULL_PIPELINE_GATES = [
+    "wand_topk_lno",
+    "wand_serve_batch",
+    "wand_boolean_lno",
+    "wand_boolean_serve",
+]
 
 HOSTILE = list("\t\n\x0b\f\r\xa0　ſꝛæß'%[](){}\\^$|*+?éü😀𝔘") + ["́"]
 WS_ONLY = list("\t\n\x0b\f\r ")

@@ -162,6 +162,48 @@ def test_unsatisfiable_must_returns_empty(spark, built, postings):
     assert out == []
 
 
+def test_serve_batch_equals_distributed(spark, built):
+    """The batched serving path must be tuple-identical to the
+    distributed wand_boolean — same kernel, same fold, same tie-break
+    — including under a serve-time exclude set."""
+    from flame_spark.pipeline import wand_boolean_serve_batch
+    from flame_spark.wand import segments_for_serving
+
+    index, segments = built
+    cache = segments_for_serving(segments, 4)
+    try:
+        dist = {
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in wand_boolean_topk(
+                spark, BOOLQ, index, segments, k=10
+            ).collect()
+        }
+        served = set(
+            wand_boolean_serve_batch(BOOLQ, index, cache, k=10)
+        )
+        assert served == dist and served
+        # exclude the top doc of b2 (a query with results — b0's
+        # must_not empties it): both paths must agree again
+        top_doc = min(d for q, r, d, s in dist if q == "b2" and r == 1)
+        dist_x = {
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in wand_boolean_topk(
+                spark, BOOLQ, index, segments, k=10,
+                exclude_docs=[top_doc],
+            ).collect()
+        }
+        served_x = set(
+            wand_boolean_serve_batch(
+                BOOLQ, index, cache, k=10, exclude_docs=[top_doc]
+            )
+        )
+        assert served_x == dist_x
+        assert all(d != top_doc for _q, _r, d, _s in served_x)
+        assert served_x != served
+    finally:
+        cache.unpersist()
+
+
 def test_cross_clause_duplicate_feature_raises(spark, built):
     index, segments = built
     with pytest.raises(ValueError, match="appears in both"):
