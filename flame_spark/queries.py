@@ -66,6 +66,21 @@ PHRASE_QUERIES = [
 ]
 SUGGEST_PREFIXES = ["s", "wi", "q"]
 SEARCH_K = 10
+# fuzzy search (searchops.fuzzy_*): typo'd terms whose distance<=1
+# vocabulary neighborhoods are known — "tble"->table, "scann"->scan,
+# "merge" exact, "sow"->{slow, row} (multi-expansion), "aa"->a,
+# "zzzqqq"->nothing (zero-row edge)
+FUZZY_QUERIES = [
+    ("f0", ["tble", "scann"]),
+    ("f1", ["window", "merge"]),
+    ("f2", ["sow", "aa"]),
+    ("f3", ["zzzqqq"]),
+]
+# BM25F field weights per transcript role (dyadic rationals so the
+# weighted float sums are exact in any aggregation order)
+BM25F_ROLE_WEIGHTS = {"user": 2.0, "assistant": 0.5}
+# snippet window (tokens) around the earliest query-term hit
+SNIPPET_W = 8
 # boolean retrieval over the LNO segment index (wand.wand_boolean):
 # clause vocabularies are DISJOINT within each query — a feature in
 # two clauses of one query is a contradiction the engine refuses
@@ -2554,6 +2569,261 @@ SQL_PREFIX_SUGGEST = _sql_suggest()
 
 
 # ---------------------------------------------------------------------------
+# fuzzy search: SymSpell expansion + typo-tolerant BM25 (searchops.py)
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_expand(spark, sf_dir):
+    from .searchops import fuzzy_expand
+
+    _postings, _dl, stats_df, _stats = _word_index(spark, sf_dir)
+    rows = [(qid, t) for qid, ts in FUZZY_QUERIES for t in ts]
+    return fuzzy_expand(rows, stats_df)
+
+
+def _sql_fuzzy_expand():
+    qvals = ",\n    ".join(
+        f"('{qid}', '{t}')" for qid, ts in FUZZY_QUERIES for t in ts
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q(query_id, qterm) AS (VALUES
+    {qvals})
+SELECT q.query_id, q.qterm, v.term,
+       levenshtein(q.qterm, v.term)::BIGINT AS dist, v.df
+FROM q JOIN vocab v ON levenshtein(q.qterm, v.term) <= 1
+"""
+
+
+SQL_FUZZY_EXPAND = _sql_fuzzy_expand()
+
+
+def q_fuzzy_topk(spark, sf_dir):
+    from .searchops import fuzzy_topk
+
+    postings, dl, stats_df, stats = _word_index(spark, sf_dir)
+    rows = [(qid, t) for qid, ts in FUZZY_QUERIES for t in ts]
+    return fuzzy_topk(
+        rows, postings, dl, stats_df, stats, BM25_K1, BM25_B, SEARCH_K
+    )
+
+
+def _sql_fuzzy_topk():
+    qvals = ",\n    ".join(
+        f"('{qid}', '{t}')" for qid, ts in FUZZY_QUERIES for t in ts
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, qterm) AS (VALUES
+    {qvals}),
+exp AS (
+  SELECT DISTINCT q.query_id, v.term
+  FROM q JOIN df v ON levenshtein(q.qterm, v.term) <= 1
+),
+contrib AS (
+  SELECT e.query_id, tf.doc_id,
+         (ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)))) AS c
+  FROM exp e
+  JOIN df USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
+SQL_FUZZY_TOPK = _sql_fuzzy_topk()
+
+
+# ---------------------------------------------------------------------------
+# BM25F: role-weighted conversation ranking (searchops.py)
+# ---------------------------------------------------------------------------
+
+
+def _bm25f_qrows():
+    rows = []
+    for qid, qtext in BM25_QUERIES:
+        counts: dict[str, int] = {}
+        for t in _qtoks(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, c) for t, c in counts.items())
+    return rows
+
+
+def q_bm25f_roles(spark, sf_dir):
+    from .searchops import bm25f_topk
+
+    turn_tokens = _conv_turns(spark, sf_dir).select(
+        "conv_id", "role", word_tokens_col(F.col("text")).alias("tokens")
+    )
+    return bm25f_topk(
+        _bm25f_qrows(), turn_tokens, BM25F_ROLE_WEIGHTS, BM25_K1, BM25_B,
+        SEARCH_K,
+    )
+
+
+def _sql_bm25f():
+    qvals = ",\n    ".join(
+        f"('{qid}', '{t}', {c})" for qid, t, c in _bm25f_qrows()
+    )
+    wcase = " ".join(
+        f"WHEN '{r}' THEN {w}" for r, w in sorted(BM25F_ROLE_WEIGHTS.items())
+    )
+    return f"""
+WITH {_CONV_TURNS_SQL},
+ttoks AS (
+  SELECT conv_id, CASE role {wcase} END AS w, {_TOKS_SQL} AS tk FROM turns
+),
+wtf AS (
+  SELECT conv_id, term, sum(w) AS wtf
+  FROM (SELECT conv_id, w, unnest(tk) AS term FROM ttoks)
+  GROUP BY conv_id, term
+),
+dl AS (SELECT conv_id, sum(w * len(tk)) AS dl FROM ttoks GROUP BY conv_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM wtf GROUP BY term),
+q(query_id, term, qtf) AS (VALUES
+    {qvals}),
+contrib AS (
+  SELECT q.query_id, wtf.conv_id,
+         q.qtf * (ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+           * (wtf.wtf * ({BM25_K1} + 1.0)
+              / (wtf.wtf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN dfr USING (term)
+  JOIN wtf USING (term)
+  JOIN dl ON dl.conv_id = wtf.conv_id
+  CROSS JOIN st
+),
+scores AS (SELECT query_id, conv_id, sum(c) AS score FROM contrib GROUP BY query_id, conv_id),
+ranked AS (
+  SELECT query_id, conv_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, conv_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, conv_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
+SQL_BM25F_ROLES = _sql_bm25f()
+
+
+# ---------------------------------------------------------------------------
+# snippets: first-match windows for the BM25 top-k (searchops.py)
+# ---------------------------------------------------------------------------
+
+
+def q_search_snippets(spark, sf_dir):
+    from .bm25 import score_bm25, topk
+    from .searchops import snippets_for_topk
+
+    postings, dl, stats_df, stats = _word_index(spark, sf_dir)
+    rows = []
+    for qid, qtext in BM25_QUERIES:
+        counts: dict[str, int] = {}
+        for t in _qtoks(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, c) for t, c in counts.items())
+    qterms = spark.createDataFrame(rows, "query_id string, term string, qtf int")
+    top = topk(
+        score_bm25(
+            qterms, postings.join(dl, "doc_id"), stats_df, stats,
+            BM25_K1, BM25_B,
+        ),
+        BM25_K,
+    )
+    docs_tokens = _docs(spark, sf_dir).select(
+        "doc_id", word_tokens_col(F.col("text")).alias("tokens")
+    )
+    return snippets_for_topk(
+        top, [(q, t) for q, t, _c in rows], docs_tokens, SNIPPET_W
+    )
+
+
+def _sql_snippets():
+    qvals = []
+    for qid, qtext in BM25_QUERIES:
+        counts: dict[str, int] = {}
+        for t in _qtoks(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        qvals.extend(f"('{qid}', '{t}', {c})" for t, c in counts.items())
+    values = ",\n    ".join(qvals)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term, qtf) AS (VALUES
+    {values}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         q.qtf * (ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+),
+top AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {BM25_K}),
+pos AS (
+  SELECT doc_id, u.i::INT - 1 AS pos, tk[u.i::INT] AS term
+  FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)
+),
+fp AS (
+  SELECT q.query_id, pos.doc_id, min(pos.pos) AS first_pos
+  FROM pos JOIN (SELECT DISTINCT query_id, term FROM q) q USING (term)
+  GROUP BY q.query_id, pos.doc_id
+)
+SELECT top.query_id, top.rank::BIGINT AS rank, top.doc_id,
+       fp.first_pos::BIGINT AS first_pos,
+       array_to_string(
+         toks.tk[fp.first_pos + 1 : fp.first_pos + {SNIPPET_W}], ' '
+       ) AS snippet
+FROM top
+JOIN fp ON fp.query_id = top.query_id AND fp.doc_id = top.doc_id
+JOIN toks ON toks.doc_id = top.doc_id
+"""
+
+
+SQL_SEARCH_SNIPPETS = _sql_snippets()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2595,6 +2865,10 @@ QUERIES = {
     "search_boolean_topk": q_boolean_topk,
     "search_phrase_topk": q_phrase_topk,
     "search_prefix_suggest": q_prefix_suggest,
+    "search_fuzzy_expand": q_fuzzy_expand,
+    "search_fuzzy_topk": q_fuzzy_topk,
+    "search_bm25f_roles": q_bm25f_roles,
+    "search_snippets": q_search_snippets,
     "ann_cosine_topk": q_ann_bruteforce,
     "events_window5m": q_events_window,
     "stream_events_window5m": q_stream_events_window,
@@ -2653,6 +2927,10 @@ ORACLE_SQL = {
     "search_boolean_topk": SQL_BOOLEAN_TOPK,
     "search_phrase_topk": SQL_PHRASE_TOPK,
     "search_prefix_suggest": SQL_PREFIX_SUGGEST,
+    "search_fuzzy_expand": SQL_FUZZY_EXPAND,
+    "search_fuzzy_topk": SQL_FUZZY_TOPK,
+    "search_bm25f_roles": SQL_BM25F_ROLES,
+    "search_snippets": SQL_SEARCH_SNIPPETS,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "events_window5m": SQL_EVENTS_WINDOW,
     # the streaming variant must equal the batch aggregation, so it

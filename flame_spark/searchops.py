@@ -14,8 +14,15 @@ tf) plus doc lengths and term stats — with no new storage format:
   positions (overlapping occurrences included), ranked by phrase tf.
 - ``prefix_suggest`` : type-ahead completion over the vocabulary,
   ranked by document frequency.
+- ``fuzzy_expand``   : SymSpell/FastSS deletion-neighborhood expansion
+  of query terms to their Levenshtein-distance<=1 vocabulary terms.
+- ``fuzzy_topk``     : BM25 over the expanded (typo-tolerant) term set.
+- ``bm25f_topk``     : role-weighted BM25F over multi-turn
+  conversations (each role is a field with its own weight).
+- ``snippets_for_topk``: first-match snippet extraction for a ranked
+  result set (token window around the earliest query-term hit).
 
-All three are pure DataFrame compositions (zero Python on the row
+All of these are pure DataFrame compositions (zero Python on the row
 path); the oracle SQL twins live in queries.py.
 
 Scale notes (100 TB shapes):
@@ -33,6 +40,17 @@ Scale notes (100 TB shapes):
 - prefix: prefixes are grouped by length so each group is a broadcast
   HASH equi-join on substring(term, 1, L) — no nested-loop scan per
   prefix, one vocab pass per distinct prefix length.
+- fuzzy: NO vocab cross join — candidate generation is a hash
+  equi-join on deletion-neighborhood keys (one generator expression
+  per vocab term, all JVM-side), verified by an exact levenshtein
+  filter. One vocab pass regardless of query count.
+- bm25f: weighted tf/dl are computed in the same two aggregations a
+  plain BM25 build needs (the role weight rides the token projection),
+  so field weighting adds zero extra shuffles.
+- snippets: the positional stream is pruned by the broadcast
+  query-term join BEFORE the min-position aggregate, and the ranked
+  top-k (q x k rows) is broadcast back into the token table — snippet
+  assembly never shuffles the corpus.
 """
 
 from __future__ import annotations
@@ -245,4 +263,270 @@ def prefix_suggest(
             "term",
             F.col("df").cast("long").alias("df"),
         )
+    )
+
+
+def fuzzy_expand(
+    qdefs_rows: list[tuple], stats_df: DataFrame, max_dist: int = 1
+) -> DataFrame:
+    """Typo-tolerant term expansion: for each (query_id, qterm), every
+    vocabulary term within Levenshtein distance <= max_dist, with its
+    document frequency. -> (query_id, qterm, term, dist, df).
+
+    Candidate generation is the SymSpell / FastSS deletion-neighborhood
+    join: two strings are within edit distance 1 iff their depth-1
+    deletion neighborhoods (the string itself plus every
+    single-character deletion) intersect — so the vocabulary side emits
+    len(term)+1 variant keys per term in ONE generator expression
+    (array_distinct folds duplicate deletions like "scann" -> "scan"
+    twice), the tiny query side emits its own neighborhood and is
+    broadcast, and candidates meet in a hash equi-join on the variant
+    key. Every candidate is then VERIFIED with Spark's built-in
+    ``levenshtein`` (JVM-side), so false positives from shared variants
+    (e.g. "ab"/"ba" share "a" at distance 2) are filtered exactly;
+    completeness at distance 1 is the SymSpell property. max_dist is
+    capped at 1: the depth-1 neighborhood proof is distance-specific
+    and depth-2 neighborhoods grow quadratically in term length.
+
+    Scale shape: one vocabulary pass, ~avg_len+1 variant rows per vocab
+    term, broadcast query side — no cross join, no per-prefix scans.
+    """
+    if max_dist != 1:
+        raise ValueError("fuzzy_expand: only max_dist=1 is supported")
+    spark = stats_df.sparkSession
+    qrows, seen = [], set()
+    for qid, qt in qdefs_rows:
+        if (qid, qt) in seen:
+            raise ValueError(f"fuzzy_expand: duplicate (query_id, qterm) {(qid, qt)}")
+        seen.add((qid, qt))
+        neigh = {qt} | {qt[:i] + qt[i + 1 :] for i in range(len(qt))}
+        qrows.extend((qid, qt, v) for v in sorted(neigh))
+    qv = spark.createDataFrame(
+        qrows, "query_id string, qterm string, variant string"
+    )
+    vocab = (
+        stats_df.select("term", "df")
+        .withColumn(
+            "variant",
+            F.explode(
+                F.expr(
+                    "array_distinct(concat(array(term), "
+                    "transform(sequence(1, length(term)), i -> "
+                    "concat(substring(term, 1, i - 1), "
+                    "substring(term, i + 1, length(term))))))"
+                )
+            ),
+        )
+    )
+    cand = (
+        vocab.join(F.broadcast(qv), "variant")
+        .select("query_id", "qterm", "term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("qterm", "term").cast("long"))
+        .where(F.col("dist") <= max_dist)
+    )
+    return cand.select(
+        "query_id", "qterm", "term", "dist", F.col("df").cast("long").alias("df")
+    )
+
+
+def fuzzy_topk(
+    qdefs_rows: list[tuple],
+    postings: DataFrame,
+    dl: DataFrame,
+    stats_df: DataFrame,
+    stats: CorpusStats,
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """Fuzzy BM25 top-k: expand each query term to its distance<=1
+    vocabulary neighborhood (``fuzzy_expand``), then BM25-score the
+    DISTINCT expanded term set per query with qtf=1 — a vocabulary term
+    reachable from several query terms contributes once. Queries whose
+    expansion is empty return no rows. Ties break doc_id-ascending.
+    -> (query_id, rank, doc_id, score) with score rounded to 6 dp.
+    """
+    from .floatops import np_log
+
+    exp = (
+        fuzzy_expand(qdefs_rows, stats_df)
+        .select("query_id", "term", "df")
+        .distinct()
+    )
+    n, avgdl = float(stats.n_docs), float(stats.avgdl)
+    q_idf = exp.select(
+        "query_id",
+        "term",
+        np_log(
+            (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    joined = postings.join(dl, "doc_id").join(F.broadcast(q_idf), "term")
+    denom_dl = 1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl)
+    tf_comp = (F.col("tf") * (k1 + 1.0)) / (F.col("tf") + F.lit(k1) * denom_dl)
+    agg = (
+        joined.select(
+            "query_id",
+            "doc_id",
+            F.col("term").alias("t"),
+            (F.col("idf") * tf_comp).alias("val"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias(
+                "score"
+            )
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def bm25f_topk(
+    qterms_rows: list[tuple],
+    turn_tokens: DataFrame,
+    role_weights: dict[str, float],
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """Role-weighted BM25F over multi-turn conversations (simplified
+    BM25F, Robertson & Zaragoza 2009 §3.5 with shared k1/b): each ROLE
+    is a field with weight w_r; weighted tf(t, conv) = sum over turns
+    of w_role * tf(t, turn), weighted length dl(conv) = sum of
+    w_role * n_tokens(turn), and the standard BM25 saturation runs on
+    the weighted quantities. df/N/avgdl are conversation-level (df is
+    unweighted: #convs containing the term; N and avgdl include
+    zero-token conversations).
+
+    turn_tokens: (conv_id, role, tokens array<string>) — one row per
+    turn. qterms_rows: [(query_id, term, qtf)]. A turn role absent from
+    role_weights raises (silently zero-weighting a field would corrupt
+    scores). Weights should be dyadic rationals (e.g. 2.0, 0.5) so the
+    weighted sums are exact in float64 regardless of aggregation order.
+    -> (query_id, rank, conv_id, score) with score rounded to 6 dp.
+
+    Scale shape: the weight rides the token projection, so weighted
+    tf/dl cost exactly the two aggregations a plain BM25 build needs —
+    field weighting adds zero shuffles; query side broadcast.
+    """
+    from .floatops import np_log
+
+    spark = turn_tokens.sparkSession
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(role_weights.items()) for x in kv]
+    )
+    w_checked = F.when(
+        wmap[F.col("role")].isNull(),
+        F.raise_error(
+            F.concat(F.lit("bm25f_topk: no weight for role "), F.col("role"))
+        ).cast("double"),
+    ).otherwise(wmap[F.col("role")])
+    tok = turn_tokens.select(
+        "conv_id", w_checked.alias("w"), F.explode("tokens").alias("term")
+    )
+    wtf = tok.groupBy("conv_id", "term").agg(F.sum("w").alias("wtf"))
+    dl = turn_tokens.select(
+        "conv_id", (w_checked * F.size("tokens")).alias("wl")
+    ).groupBy("conv_id").agg(F.sum("wl").alias("dl"))
+    n_docs, avgdl = dl.agg(
+        F.count("*").cast("double"), F.avg("dl")
+    ).first()
+    dfr = wtf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qterms = spark.createDataFrame(
+        qterms_rows, "query_id string, term string, qtf int"
+    )
+    q_idf = dfr.join(F.broadcast(qterms), "term").select(
+        "term",
+        "query_id",
+        "qtf",
+        np_log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        ).alias("idf"),
+    )
+    joined = wtf.join(dl, "conv_id").join(F.broadcast(q_idf), "term")
+    denom_dl = 1.0 - b + b * F.col("dl") / F.lit(float(avgdl))
+    tf_comp = (F.col("wtf") * (k1 + 1.0)) / (
+        F.col("wtf") + F.lit(k1) * denom_dl
+    )
+    agg = (
+        joined.select(
+            "query_id",
+            "conv_id",
+            F.col("term").alias("t"),
+            (F.col("qtf") * F.col("idf") * tf_comp).alias("val"),
+        )
+        .groupBy("query_id", "conv_id")
+        .agg(
+            _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias(
+                "score"
+            )
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("conv_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "conv_id",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def snippets_for_topk(
+    top: DataFrame,
+    qterms_rows: list[tuple],
+    docs_tokens: DataFrame,
+    width: int,
+) -> DataFrame:
+    """First-match snippets for a ranked result set: for each
+    (query_id, doc_id) in ``top``, the earliest token position of ANY
+    query term in the document and the ``width``-token window starting
+    there (clipped at the document end), joined with spaces.
+    top: (query_id, rank, doc_id, ...); qterms_rows: [(query_id, term)];
+    docs_tokens: (doc_id, tokens). Every top row whose document
+    contains at least one query term appears (BM25 top-k rows always
+    do — their score comes from a match).
+    -> (query_id, rank, doc_id, first_pos, snippet).
+    """
+    spark = docs_tokens.sparkSession
+    pts = spark.createDataFrame(
+        sorted(set(qterms_rows)), "query_id string, term string"
+    )
+    pos = docs_tokens.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "term")
+    )
+    fp = (
+        pos.join(F.broadcast(pts), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    hit = fp.join(
+        F.broadcast(top.select("query_id", "rank", "doc_id")),
+        ["query_id", "doc_id"],
+    )
+    return docs_tokens.join(F.broadcast(hit), "doc_id").select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("first_pos").cast("long").alias("first_pos"),
+        F.array_join(
+            F.slice("tokens", F.col("first_pos") + 1, F.lit(width)), " "
+        ).alias("snippet"),
     )

@@ -80,6 +80,14 @@ SIMPLE_GATES = [
     "search_boolean_topk",
     "search_phrase_topk",
     "search_prefix_suggest",
+    # fuzzy matching is ASCII-token-level by construction (tokens are
+    # [a-z0-9] runs), but the expansion join must agree with DuckDB's
+    # levenshtein on whatever tokens hostile docs produce; snippets
+    # stress slice/array_join vs list-slice/array_to_string parity
+    "search_fuzzy_expand",
+    "search_fuzzy_topk",
+    "search_bm25f_roles",
+    "search_snippets",
 ]
 FULL_PIPELINE_GATES = [
     "wand_topk_lno",

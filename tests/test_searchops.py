@@ -180,14 +180,21 @@ def test_search_plans_no_quadratic_joins(spark):
         "search_boolean_topk",
         "search_phrase_topk",
         "search_prefix_suggest",
+        "search_fuzzy_expand",
+        "search_fuzzy_topk",
+        "search_bm25f_roles",
+        "search_snippets",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
-        if name != "search_boolean_topk":
-            # zero Python on the row path (boolean inherits score_bm25's
-            # Arrow-vectorized np_log idf UDF — same as j6_bm25_topk)
+        if name in (
+            "search_phrase_topk", "search_prefix_suggest",
+            "search_fuzzy_expand",
+        ):
+            # zero Python on the row path; the scoring gates inherit the
+            # Arrow-vectorized np_log idf UDF — same as j6_bm25_topk
             assert "EvalPython" not in plan, name
 
 
@@ -204,3 +211,249 @@ def test_phrase_single_explicit_exchange_feeds_both_aggs(spark, tiny):
     )
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash == 2, plan[:3000]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy search (fuzzy_expand / fuzzy_topk)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a, b):
+    """Independent plain-Levenshtein (unit costs, no transposition)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            ))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_expand_matches_bruteforce(spark):
+    """Deletion-neighborhood join == brute-force levenshtein<=1 over a
+    vocab with the adversarial cases: transposition pairs share a
+    deletion variant at distance 2 (must be filtered), double-deletion
+    duplicates ("scann"->"scan" twice), single-char terms whose
+    neighborhood contains the empty string, and exact matches."""
+    from pyspark.sql import functions as F
+
+    from flame_spark.searchops import fuzzy_expand
+
+    vocab = ["ab", "ba", "scan", "scann", "a", "b", "alpha", "alpine",
+             "table", "stable"]
+    stats_df = spark.createDataFrame(
+        [(t, i + 1, i + 1) for i, t in enumerate(vocab)],
+        "term string, df long, cf long",
+    )
+    queries = [("q0", "ab"), ("q1", "scan"), ("q2", "a"), ("q3", "tble"),
+               ("q4", "alpha"), ("q5", "zzz")]
+    got = {
+        (r["query_id"], r["qterm"], r["term"], r["dist"], r["df"])
+        for r in fuzzy_expand(queries, stats_df).collect()
+    }
+    exp = {
+        (qid, qt, t, _lev(qt, t), i + 1)
+        for qid, qt in queries
+        for i, t in enumerate(vocab)
+        if _lev(qt, t) <= 1
+    }
+    assert got == exp
+    # the adversarial specifics actually bit: transposition excluded...
+    assert not any(q == "q0" and t == "ba" for q, _, t, _, _ in got)
+    # ...single deletion/insertion and exact matches present
+    assert ("q1", "scan", "scann", 1, 4) in got
+    assert ("q1", "scan", "scan", 0, 3) in got
+    assert ("q2", "a", "b", 1, 6) in got       # via shared "" variant
+    assert ("q3", "tble", "table", 1, 9) in got
+    # no expansion at all for q5
+    assert not any(q == "q5" for q, _, t, _, _ in got)
+
+
+def test_fuzzy_expand_contract_errors(spark):
+    from flame_spark.searchops import fuzzy_expand
+
+    stats_df = spark.createDataFrame(
+        [("a", 1, 1)], "term string, df long, cf long"
+    )
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_expand([("q", "a")], stats_df, max_dist=2)
+    with pytest.raises(ValueError, match="duplicate"):
+        fuzzy_expand([("q", "a"), ("q", "a")], stats_df)
+
+
+def test_fuzzy_topk_equals_bm25_on_expanded_set(spark, tiny):
+    """fuzzy score == plain BM25 over the DISTINCT expanded vocab set
+    (qtf=1), including a query term that expands to TWO vocab terms."""
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import fuzzy_topk
+
+    docs, postings, dl, stats_df, stats = tiny
+    # "bta" -> beta (1 del); "gama" -> gamma (1 ins); "alpa" -> alpha
+    rows = [("f", "bta"), ("f", "gama"), ("f", "alpa"), ("zero", "qqqq")]
+    got = {r["doc_id"]: r["score"] for r in fuzzy_topk(
+        rows, postings, dl, stats_df, stats, BM25_K1, BM25_B, 10
+    ).collect() if r["query_id"] == "f"}
+    exp = _brute_bm25(["beta", "gamma", "alpha"], BM25_K1, BM25_B)
+    assert set(got) == set(exp)
+    for d in got:
+        assert got[d] == pytest.approx(exp[d], abs=1e-6)
+
+
+def test_fuzzy_topk_zero_expansion_returns_no_rows(spark, tiny):
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import fuzzy_topk
+
+    _docs, postings, dl, stats_df, stats = tiny
+    out = fuzzy_topk(
+        [("z", "qqqq")], postings, dl, stats_df, stats, BM25_K1, BM25_B, 10
+    ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# BM25F (role-weighted conversation ranking)
+# ---------------------------------------------------------------------------
+
+TURNS = [
+    ("c0", "user", ["alpha", "beta"]),
+    ("c0", "assistant", ["alpha", "alpha"]),
+    ("c1", "user", ["beta", "gamma", "beta"]),
+    ("c1", "assistant", ["delta"]),
+    ("c2", "user", []),            # zero-token conv still counts in N/avgdl
+    ("c3", "assistant", ["alpha"]),
+]
+
+
+def _brute_bm25f(qterms, weights, k1, b):
+    """Independent BM25F over TURNS: weighted tf/dl, conv-level df."""
+    convs = sorted({c for c, _r, _t in TURNS})
+    wtf, dl = {}, {c: 0.0 for c in convs}
+    for c, r, toks in TURNS:
+        w = weights[r]
+        dl[c] += w * len(toks)
+        for t in toks:
+            wtf[(c, t)] = wtf.get((c, t), 0.0) + w
+    n = len(convs)
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for (c, t) in wtf:
+        df[t] = df.get(t, 0) + 1
+    out = {}
+    for c in convs:
+        s, hit = 0.0, False
+        for t, qtf in qterms:
+            v = wtf.get((c, t), 0.0)
+            if not v:
+                continue
+            hit = True
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += qtf * idf * (v * (k1 + 1.0)) / (
+                v + k1 * (1.0 - b + b * dl[c] / avgdl)
+            )
+        if hit:
+            out[c] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def turn_tokens(spark):
+    return spark.createDataFrame(
+        TURNS, "conv_id string, role string, tokens array<string>"
+    )
+
+
+def test_bm25f_matches_bruteforce(spark, turn_tokens):
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import bm25f_topk
+
+    weights = {"user": 2.0, "assistant": 0.5}
+    qterms = [("q", "alpha", 1), ("q", "beta", 2)]
+    got = {r["conv_id"]: r["score"] for r in bm25f_topk(
+        qterms, turn_tokens, weights, BM25_K1, BM25_B, 10
+    ).collect()}
+    exp = _brute_bm25f([("alpha", 1), ("beta", 2)], weights, BM25_K1, BM25_B)
+    assert set(got) == set(exp)
+    for c in got:
+        assert got[c] == pytest.approx(exp[c], abs=1e-6)
+
+
+def test_bm25f_uniform_weights_equals_plain_bm25(spark, turn_tokens):
+    """With every role weighted 1.0, BM25F degenerates to plain BM25
+    over the conversation-level token bag — field weighting is a strict
+    generalization, not a different formula."""
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import bm25f_topk
+
+    got = {r["conv_id"]: r["score"] for r in bm25f_topk(
+        [("q", "alpha", 1)], turn_tokens, {"user": 1.0, "assistant": 1.0},
+        BM25_K1, BM25_B, 10,
+    ).collect()}
+    exp = _brute_bm25f([("alpha", 1)], {"user": 1.0, "assistant": 1.0},
+                       BM25_K1, BM25_B)
+    assert set(got) == set(exp)
+    for c in got:
+        assert got[c] == pytest.approx(exp[c], abs=1e-6)
+
+
+def test_bm25f_role_weighting_reorders(spark):
+    """Two symmetric convs — the term in a heavy-weighted field must
+    outrank the same term in a light field (that's the point of F)."""
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import bm25f_topk
+
+    tt = spark.createDataFrame(
+        [("u", "user", ["target", "pad"]), ("u", "assistant", ["pad", "x"]),
+         ("a", "user", ["pad", "x"]), ("a", "assistant", ["target", "pad"])],
+        "conv_id string, role string, tokens array<string>",
+    )
+    out = bm25f_topk(
+        [("q", "target", 1)], tt, {"user": 2.0, "assistant": 0.5},
+        BM25_K1, BM25_B, 10,
+    ).collect()
+    ranks = {r["conv_id"]: r["rank"] for r in out}
+    scores = {r["conv_id"]: r["score"] for r in out}
+    assert ranks["u"] == 1 and ranks["a"] == 2
+    assert scores["u"] > scores["a"]
+
+
+def test_bm25f_unknown_role_raises(spark):
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import bm25f_topk
+
+    tt = spark.createDataFrame(
+        [("c", "tool", ["alpha"])],
+        "conv_id string, role string, tokens array<string>",
+    )
+    with pytest.raises(Exception, match="no weight for role"):
+        bm25f_topk(
+            [("q", "alpha", 1)], tt, {"user": 1.0}, 1.2, 0.75, 10
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# snippets
+# ---------------------------------------------------------------------------
+
+
+def test_snippets_first_match_window_and_clipping(spark):
+    from flame_spark.searchops import snippets_for_topk
+
+    docs_tokens = spark.createDataFrame(
+        [(0, ["x", "y", "hit", "a", "b", "c", "d"]),
+         (1, ["p", "q", "r", "s", "hit"]),       # hit at the tail: clipped
+         (2, ["hit", "z"])],
+        "doc_id long, tokens array<string>",
+    )
+    top = spark.createDataFrame(
+        [("q", 1, 0), ("q", 2, 1), ("q", 3, 2)],
+        "query_id string, rank long, doc_id long",
+    )
+    got = {r["doc_id"]: (r["first_pos"], r["snippet"])
+           for r in snippets_for_topk(
+               top, [("q", "hit"), ("q", "z")], docs_tokens, 3
+           ).collect()}
+    assert got[0] == (2, "hit a b")
+    assert got[1] == (4, "hit")               # window clipped at doc end
+    assert got[2] == (0, "hit z")             # earliest of the two hits
