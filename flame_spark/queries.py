@@ -2824,6 +2824,31 @@ SQL_SEARCH_SNIPPETS = _sql_snippets()
 
 
 # ---------------------------------------------------------------------------
+# index audit: decode-and-verify the compressed segments (auditops.py)
+# ---------------------------------------------------------------------------
+
+
+def q_index_audit(spark, sf_dir):
+    """Full decode of the WAND gates' segment table: every varbyte blob
+    is decompressed, internal invariants (lengths, doc range, strict
+    monotonicity, bit-exact block maxes) are verified in-flight, and
+    the decoded per-term (df, cf) must equal the corpus-level SQL
+    ground truth — the strongest whole-index consistency check the
+    registry has."""
+    from .auditops import audit_segment_stats
+
+    _serving, segments = _lno_index(spark, sf_dir)
+    return audit_segment_stats(segments)
+
+
+SQL_INDEX_AUDIT = f"""
+WITH {_LNO_CTES},
+p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM feats GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM p GROUP BY term
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2869,6 +2894,7 @@ QUERIES = {
     "search_fuzzy_topk": q_fuzzy_topk,
     "search_bm25f_roles": q_bm25f_roles,
     "search_snippets": q_search_snippets,
+    "index_audit_stats": q_index_audit,
     "ann_cosine_topk": q_ann_bruteforce,
     "events_window5m": q_events_window,
     "stream_events_window5m": q_stream_events_window,
@@ -2931,6 +2957,7 @@ ORACLE_SQL = {
     "search_fuzzy_topk": SQL_FUZZY_TOPK,
     "search_bm25f_roles": SQL_BM25F_ROLES,
     "search_snippets": SQL_SEARCH_SNIPPETS,
+    "index_audit_stats": SQL_INDEX_AUDIT,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "events_window5m": SQL_EVENTS_WINDOW,
     # the streaming variant must equal the batch aggregation, so it
