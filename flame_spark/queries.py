@@ -2824,6 +2824,103 @@ SQL_SEARCH_SNIPPETS = _sql_snippets()
 
 
 # ---------------------------------------------------------------------------
+# curation composition: redact -> repetition-filter -> dedup (textops.py)
+# ---------------------------------------------------------------------------
+
+#: exemption threshold baked into the gate (curate_docs default): short
+#: docs are a length-filter concern, not a repetition one
+CURATE_MIN_TOKENS = 30
+
+
+def q_curate_pipeline(spark, sf_dir):
+    """Full pre-index curation composition (textops.curate_docs) on a
+    corpus derived to EXERCISE every stage: each document yields TWO
+    twins that differ only in a synthetic email address, so after PII
+    redaction the twins are byte-identical and the exact-dedup stage
+    must collapse each pair to its min-doc_id ('a…' < 'b…') copy, while
+    the repetition filter drops the same repetitive docs it flags in
+    the text_repetition gate."""
+    from .textops import curate_docs
+
+    d = _docs(spark, sf_dir)
+
+    def variant(pfx, local, host):
+        return d.select(
+            F.format_string(
+                pfx + "%08d", F.col("doc_id").cast("int")
+            ).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(f" contact {local}"),
+                F.col("doc_id").cast("string"),
+                F.lit(f"@{host}"),
+            ).alias("text"),
+        )
+
+    pairs = variant("a", "u", "example.com").unionByName(
+        variant("b", "support.team", "other-host.org")
+    )
+    return curate_docs(
+        pairs,
+        top2_threshold=REP_TOP2_THRESHOLD,
+        dup3_threshold=REP_DUP3_THRESHOLD,
+        min_tokens=CURATE_MIN_TOKENS,
+    )
+
+
+def _sql_curate():
+    from .textops import PII_RULES
+
+    def synth(pfx, local, host):
+        return (
+            f"SELECT printf('{pfx}%08d', doc_id::INT) AS cid, "
+            f"text || ' contact {local}' || doc_id::VARCHAR || '@{host}' "
+            f"AS raw FROM documents"
+        )
+
+    cur = "raw"
+    for _name, pat, repl in PII_RULES:
+        p = pat.replace("'", "''")
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    t2 = "CASE WHEN coalesce(t2, 0) > 0 THEN m2 / t2::DOUBLE ELSE 0.0 END"
+    d3 = "CASE WHEN coalesce(t3, 0) > 0 THEN d3 / t3::DOUBLE ELSE 0.0 END"
+    return f"""
+WITH d AS (
+  {synth('a', 'u', 'example.com')}
+  UNION ALL
+  {synth('b', 'support.team', 'other-host.org')}),
+red AS (SELECT cid, {cur} AS text FROM d),
+toks AS (SELECT cid, {_TOKS_SQL} AS tk FROM red),
+base AS (SELECT cid, len(tk)::BIGINT AS n_tokens FROM toks),
+g2 AS (SELECT cid, tk[s] || ' ' || tk[s+1] AS g
+       FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS u(s)
+       WHERE len(tk) >= 2),
+c2 AS (SELECT cid, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+a2 AS (SELECT cid, sum(c) AS t2, max(c) AS m2 FROM c2 GROUP BY 1),
+g3 AS (SELECT cid, tk[s] || ' ' || tk[s+1] || ' ' || tk[s+2] AS g
+       FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(s)
+       WHERE len(tk) >= 3),
+c3 AS (SELECT cid, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+a3 AS (SELECT cid, sum(c) AS t3,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS d3 FROM c3 GROUP BY 1),
+kept AS (
+  SELECT red.cid, red.text
+  FROM red JOIN base USING (cid)
+  LEFT JOIN a2 USING (cid) LEFT JOIN a3 USING (cid)
+  WHERE NOT (({t2}) > {REP_TOP2_THRESHOLD} OR ({d3}) > {REP_DUP3_THRESHOLD})
+     OR base.n_tokens < {CURATE_MIN_TOKENS}
+),
+hashed AS (SELECT cid, md5({_NORM_SQL}) AS h, text FROM kept),
+keepers AS (SELECT h, min(cid) AS cid FROM hashed GROUP BY h)
+SELECT hashed.cid AS doc_id, hashed.text AS text
+FROM hashed JOIN keepers ON keepers.h = hashed.h AND keepers.cid = hashed.cid
+"""
+
+
+SQL_CURATE_PIPELINE = _sql_curate()
+
+
+# ---------------------------------------------------------------------------
 # index audit: decode-and-verify the compressed segments (auditops.py)
 # ---------------------------------------------------------------------------
 
@@ -2885,6 +2982,7 @@ QUERIES = {
     "text_repetition": q_repetition,
     "text_pii_redact": q_pii_redact,
     "text_stratified_sample": q_stratified_sample,
+    "text_curate_pipeline": q_curate_pipeline,
     "transcript_conv_docs": q_conv_docs,
     "transcript_conv_windows": q_conv_windows,
     "search_boolean_topk": q_boolean_topk,
@@ -2948,6 +3046,7 @@ ORACLE_SQL = {
     "text_repetition": SQL_REPETITION,
     "text_pii_redact": SQL_PII_REDACT,
     "text_stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "text_curate_pipeline": SQL_CURATE_PIPELINE,
     "transcript_conv_docs": SQL_CONV_DOCS,
     "transcript_conv_windows": SQL_CONV_WINDOWS,
     "search_boolean_topk": SQL_BOOLEAN_TOPK,

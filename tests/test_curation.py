@@ -196,3 +196,23 @@ def test_curate_docs_keeps_singletons_and_clean_docs(spark):
             for i in range(10)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     assert curate_docs(docs).count() == 10
+
+
+def test_curate_pipeline_gate_stage_activity(spark):
+    """The registry gate's twin-pair derivation must exercise BOTH
+    stages: every surviving doc_id is an 'a…' twin (dedup collapsed
+    each redaction-identical pair to the min id), and the survivor
+    count equals #docs minus the long repetitive ones (repetition
+    filter active), never the raw twin count."""
+    from flame_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["text_curate_pipeline"](spark, sf).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids and all(i.startswith("a") for i in ids)
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(ids) < n_docs          # repetition filter dropped some
+    assert len(set(ids)) == len(ids)  # dedup left no twin pairs
+    # redaction actually happened on the survivors
+    assert all("[EMAIL]" in r["text"] for r in out)
+    assert not any("@example.com" in r["text"] for r in out)
