@@ -133,6 +133,7 @@ CURATION = [
     "text_repetition",
     "text_pii_redact",
     "text_stratified_sample",
+    "text_curate_pipeline",
     "transcript_conv_docs",
     "transcript_conv_windows",
 ]
@@ -150,10 +151,15 @@ SEARCH = [
     "search_boolean_topk",
     "search_phrase_topk",
     "search_prefix_suggest",
+    "search_fuzzy_topk",
+    "search_bm25f_roles",
+    "search_snippets",
     # index-layer boolean: shares the memoized LNO segment index with
     # the headline WAND gates (charged to whichever builds it first)
     "wand_boolean_lno",
     "wand_boolean_serve",
+    # full decode-and-verify audit of that same segment index
+    "index_audit_stats",
 ]
 
 
