@@ -134,6 +134,7 @@ CURATION = [
     "text_pii_redact",
     "text_stratified_sample",
     "text_curate_pipeline",
+    "text_collocations",
     "transcript_conv_docs",
     "transcript_conv_windows",
 ]
@@ -154,6 +155,7 @@ SEARCH = [
     "search_fuzzy_topk",
     "search_bm25f_roles",
     "search_snippets",
+    "search_more_like_this",
     # index-layer boolean: shares the memoized LNO segment index with
     # the headline WAND gates (charged to whichever builds it first)
     "wand_boolean_lno",

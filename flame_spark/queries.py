@@ -81,6 +81,12 @@ FUZZY_QUERIES = [
 BM25F_ROLE_WEIGHTS = {"user": 2.0, "assistant": 0.5}
 # snippet window (tokens) around the earliest query-term hit
 SNIPPET_W = 8
+# more-like-this: seed doc ids present at every SF, expansion size
+MLT_SEEDS = [3, 47, 201]
+MLT_M_TERMS = 5
+# collocation mining: bigrams under this count are dropped (PMI is
+# unstable for rare pairs)
+COLL_MIN_COUNT = 5
 # boolean retrieval over the LNO segment index (wand.wand_boolean):
 # clause vocabularies are DISJOINT within each query — a feature in
 # two clauses of one query is a contradiction the engine refuses
@@ -2824,6 +2830,101 @@ SQL_SEARCH_SNIPPETS = _sql_snippets()
 
 
 # ---------------------------------------------------------------------------
+# more-like-this + collocation mining (searchops.py / textops.py)
+# ---------------------------------------------------------------------------
+
+
+def q_more_like_this(spark, sf_dir):
+    from .searchops import more_like_this
+
+    postings, dl, stats_df, stats = _word_index(spark, sf_dir)
+    return more_like_this(
+        MLT_SEEDS, postings, dl, stats_df, stats, BM25_K1, BM25_B,
+        MLT_M_TERMS, SEARCH_K,
+    )
+
+
+def _sql_mlt():
+    seeds = ",".join(f"({s})" for s in MLT_SEEDS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+seeds(seed) AS (VALUES {seeds}),
+sel AS (
+  SELECT s.seed, tf.term,
+         row_number() OVER (
+           PARTITION BY s.seed
+           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+         ) AS rn
+  FROM seeds s
+  JOIN tf ON tf.doc_id = s.seed
+  JOIN df USING (term)
+),
+q AS (SELECT seed, term FROM sel WHERE rn <= {MLT_M_TERMS}),
+contrib AS (
+  SELECT q.seed, tf.doc_id,
+         (ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+  WHERE tf.doc_id <> q.seed
+),
+scores AS (SELECT seed, doc_id, sum(c) AS score FROM contrib GROUP BY seed, doc_id),
+ranked AS (
+  SELECT seed, doc_id, score,
+         row_number() OVER (PARTITION BY seed ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT seed::BIGINT AS seed_doc_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
+SQL_MORE_LIKE_THIS = _sql_mlt()
+
+
+def q_collocations(spark, sf_dir):
+    from .textops import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=COLL_MIN_COUNT)
+
+
+SQL_COLLOCATIONS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+t AS (SELECT sum(len(tk))::DOUBLE AS t1,
+             sum(greatest(len(tk) - 1, 0))::DOUBLE AS t2 FROM toks),
+uni AS (
+  SELECT term, count(*)::DOUBLE AS c
+  FROM (SELECT unnest(tk) AS term FROM toks) GROUP BY term
+),
+big AS (
+  SELECT tk[s] AS w1, tk[s+1] AS w2, count(*)::BIGINT AS c12
+  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS u(s)
+  WHERE len(tk) >= 2
+  GROUP BY 1, 2
+  HAVING count(*) >= {COLL_MIN_COUNT}
+)
+SELECT big.w1, big.w2, big.c12,
+       round(ln((big.c12 / t.t2) / ((u1.c / t.t1) * (u2.c / t.t1))), 6) AS pmi
+FROM big
+JOIN uni u1 ON u1.term = big.w1
+JOIN uni u2 ON u2.term = big.w2
+CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
 # curation composition: redact -> repetition-filter -> dedup (textops.py)
 # ---------------------------------------------------------------------------
 
@@ -2992,6 +3093,8 @@ QUERIES = {
     "search_fuzzy_topk": q_fuzzy_topk,
     "search_bm25f_roles": q_bm25f_roles,
     "search_snippets": q_search_snippets,
+    "search_more_like_this": q_more_like_this,
+    "text_collocations": q_collocations,
     "index_audit_stats": q_index_audit,
     "ann_cosine_topk": q_ann_bruteforce,
     "events_window5m": q_events_window,
@@ -3056,6 +3159,8 @@ ORACLE_SQL = {
     "search_fuzzy_topk": SQL_FUZZY_TOPK,
     "search_bm25f_roles": SQL_BM25F_ROLES,
     "search_snippets": SQL_SEARCH_SNIPPETS,
+    "search_more_like_this": SQL_MORE_LIKE_THIS,
+    "text_collocations": SQL_COLLOCATIONS,
     "index_audit_stats": SQL_INDEX_AUDIT,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,
     "events_window5m": SQL_EVENTS_WINDOW,

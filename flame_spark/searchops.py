@@ -21,6 +21,9 @@ tf) plus doc lengths and term stats — with no new storage format:
   conversations (each role is a field with its own weight).
 - ``snippets_for_topk``: first-match snippet extraction for a ranked
   result set (token window around the earliest query-term hit).
+- ``more_like_this`` : seed-document similarity search — the seed's
+  most characteristic terms (integer-deterministic tf/df selection)
+  become a BM25 query over the rest of the corpus.
 
 All of these are pure DataFrame compositions (zero Python on the row
 path); the oracle SQL twins live in queries.py.
@@ -529,4 +532,91 @@ def snippets_for_topk(
         F.array_join(
             F.slice("tokens", F.col("first_pos") + 1, F.lit(width)), " "
         ).alias("snippet"),
+    )
+
+
+def more_like_this(
+    seed_doc_ids: list[int],
+    postings: DataFrame,
+    dl: DataFrame,
+    stats_df: DataFrame,
+    stats: CorpusStats,
+    k1: float,
+    b: float,
+    m_terms: int,
+    k: int,
+) -> DataFrame:
+    """Lucene-style "more like this": for each seed document, select
+    its ``m_terms`` most characteristic terms and BM25-rank the rest of
+    the corpus against them (the seed itself is excluded).
+
+    Term selection is integer-deterministic — per seed, postings are
+    ranked by (tf DESC, df ASC, term ASC), i.e. the seed's most
+    frequent terms with rarity (lowest document frequency) breaking tf
+    ties. That is the tf-idf selection intent without comparing float
+    products, so the selected set is bit-reproducible across engines.
+    Scoring is standard BM25 with qtf=1 over the selected set.
+    -> (seed_doc_id, rank, doc_id, score) with score rounded to 6 dp.
+
+    Scale shape: the seed filter is a tiny IN over postings (one pass,
+    prunable), selection is a window over seeds-only rows, and the
+    seeds x m_terms expansion is broadcast into the postings join —
+    identical cost to a ``len(seeds) * m_terms``-term query batch.
+    """
+    from .floatops import np_log
+
+    if not seed_doc_ids:
+        raise ValueError("more_like_this: empty seed_doc_ids")
+    seed_rows = postings.where(
+        F.col("doc_id").isin([int(s) for s in seed_doc_ids])
+    ).select(F.col("doc_id").alias("seed_doc_id"), "term", "tf")
+    n, avgdl = float(stats.n_docs), float(stats.avgdl)
+    with_df = seed_rows.join(stats_df, "term")
+    sel_w = Window.partitionBy("seed_doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    q_idf = (
+        with_df.withColumn("rn", F.row_number().over(sel_w))
+        .where(F.col("rn") <= m_terms)
+        .select(
+            "seed_doc_id",
+            "term",
+            np_log(
+                (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf"),
+        )
+    )
+    joined = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(q_idf), "term")
+        .where(F.col("doc_id") != F.col("seed_doc_id"))
+    )
+    denom_dl = 1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl)
+    tf_comp = (F.col("tf") * (k1 + 1.0)) / (F.col("tf") + F.lit(k1) * denom_dl)
+    agg = (
+        joined.select(
+            "seed_doc_id",
+            "doc_id",
+            F.col("term").alias("t"),
+            (F.col("idf") * tf_comp).alias("val"),
+        )
+        .groupBy("seed_doc_id", "doc_id")
+        .agg(
+            _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias(
+                "score"
+            )
+        )
+    )
+    w = Window.partitionBy("seed_doc_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "seed_doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
     )

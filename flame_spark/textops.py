@@ -653,3 +653,63 @@ def stratified_sample(
         )
         .filter(F.col("bucket") < F.col("keep_rate"))
     )
+
+
+def collocations(
+    docs: DataFrame, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level bigram collocation mining by pointwise mutual
+    information — the distributional signal behind the reference's
+    formulaic-language focus (FLAME surfaces recurring multi-word
+    formulae; PMI ranks exactly those over chance co-occurrence):
+
+    pmi(w1, w2) = ln( P(w1 w2) / (P(w1) * P(w2)) ), with P(w1 w2) =
+    c12 / T2 over bigram occurrences and P(w) = c / T1 over token
+    occurrences. Bigrams under ``min_count`` are dropped (PMI is
+    unstable for rare pairs — standard practice).
+    -> (w1, w2, c12, pmi) with pmi rounded to 6 dp.
+
+    Scale shape: one token pass for the unigram counts, one for the
+    bigram counts (both hash aggregations with map-side combine), two
+    vocabulary-keyed equi-joins to attach the marginals; the T1/T2
+    totals are JVM-side sums over per-doc token counts (no extra
+    explode). Linear in corpus tokens, no all-pairs anywhere.
+    """
+    from .floatops import np_log
+
+    toks = docs.select(word_tokens_col(F.col(text_col)).alias("tk"))
+    totals = toks.agg(
+        F.sum(F.size("tk")).alias("t1"),
+        F.sum(F.greatest(F.size("tk") - 1, F.lit(0))).alias("t2"),
+    ).first()
+    t1, t2 = float(totals["t1"] or 0), float(totals["t2"] or 0)
+    if t2 == 0:
+        raise ValueError("collocations: corpus has no bigrams")
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    big = (
+        toks.select(F.explode(word_ngrams_col(F.col("tk"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= min_count)
+        .select(
+            F.split("g", " ").getItem(0).alias("w1"),
+            F.split("g", " ").getItem(1).alias("w2"),
+            "c12",
+        )
+    )
+    joined = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+    )
+    pmi = np_log(
+        (F.col("c12").cast("double") / F.lit(t2))
+        / ((F.col("c1") / F.lit(t1)) * (F.col("c2") / F.lit(t1)))
+    )
+    return joined.select(
+        "w1", "w2", F.col("c12").cast("long").alias("c12"),
+        F.round(pmi, 6).alias("pmi"),
+    )

@@ -88,6 +88,8 @@ SIMPLE_GATES = [
     "search_fuzzy_topk",
     "search_bm25f_roles",
     "search_snippets",
+    "search_more_like_this",
+    "text_collocations",
 ]
 FULL_PIPELINE_GATES = [
     "wand_topk_lno",

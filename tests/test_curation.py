@@ -216,3 +216,35 @@ def test_curate_pipeline_gate_stage_activity(spark):
     # redaction actually happened on the survivors
     assert all("[EMAIL]" in r["text"] for r in out)
     assert not any("@example.com" in r["text"] for r in out)
+
+
+def test_collocations_hand_computed(spark):
+    """PMI on a corpus small enough to verify by hand, including the
+    min_count cutoff and the exact probability normalizations."""
+    import math
+
+    from flame_spark.textops import collocations
+
+    docs = spark.createDataFrame(
+        [(0, "hot dog hot dog hot dog"), (1, "hot day"), (2, "dog day")],
+        "doc_id long, text string",
+    )
+    out = {(r["w1"], r["w2"]): (r["c12"], r["pmi"])
+           for r in collocations(docs, min_count=3).collect()}
+    # bigrams: hot dog x3, dog hot x2, hot day x1, dog day x1 -> only
+    # "hot dog" survives min_count=3
+    assert set(out) == {("hot", "dog")}
+    t1, t2 = 10.0, 7.0         # tokens, bigram slots (5 + 1 + 1)
+    c1, c2 = 4.0, 4.0          # hot x4, dog x4
+    exp = math.log((3.0 / t2) / ((c1 / t1) * (c2 / t1)))
+    assert out[("hot", "dog")] == (3, pytest.approx(round(exp, 6), abs=2e-6))
+
+
+def test_collocations_no_bigrams_raises(spark):
+    from flame_spark.textops import collocations
+
+    docs = spark.createDataFrame(
+        [(0, "single"), (1, "")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="no bigrams"):
+        collocations(docs)

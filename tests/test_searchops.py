@@ -184,6 +184,8 @@ def test_search_plans_no_quadratic_joins(spark):
         "search_fuzzy_topk",
         "search_bm25f_roles",
         "search_snippets",
+        "search_more_like_this",
+        "text_collocations",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
@@ -457,3 +459,43 @@ def test_snippets_first_match_window_and_clipping(spark):
     assert got[0] == (2, "hit a b")
     assert got[1] == (4, "hit")               # window clipped at doc end
     assert got[2] == (0, "hit z")             # earliest of the two hits
+
+
+# ---------------------------------------------------------------------------
+# more-like-this
+# ---------------------------------------------------------------------------
+
+
+def test_more_like_this_selection_and_scoring(spark, tiny):
+    """Seed 0 ("alpha beta alpha beta beta"): selection by (tf desc,
+    df asc, term asc) picks beta(3) then alpha(2); results equal plain
+    BM25 over {alpha, beta} minus the seed itself."""
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import more_like_this
+
+    _docs, postings, dl, stats_df, stats = tiny
+    out = more_like_this(
+        [0], postings, dl, stats_df, stats, BM25_K1, BM25_B, 2, 10
+    ).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert 0 not in got                       # seed excluded
+    exp = _brute_bm25(["alpha", "beta"], BM25_K1, BM25_B)
+    exp.pop(0)
+    assert set(got) == set(exp)
+    for d in got:
+        assert got[d] == pytest.approx(exp[d], abs=1e-6)
+
+
+def test_more_like_this_m_terms_caps_selection(spark, tiny):
+    """With m_terms=1 only the top term (beta: tf 3) drives scoring —
+    doc 1 (alpha only) must vanish from seed-0 results."""
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import more_like_this
+
+    _docs, postings, dl, stats_df, stats = tiny
+    got = {r["doc_id"] for r in more_like_this(
+        [0], postings, dl, stats_df, stats, BM25_K1, BM25_B, 1, 10
+    ).collect()}
+    assert got == {2}  # only the other beta doc
+    with pytest.raises(ValueError, match="empty seed"):
+        more_like_this([], postings, dl, stats_df, stats, 1.2, 0.75, 2, 10)
