@@ -113,6 +113,19 @@ def _qtoks(text: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
 
 
+def _bm25_qrows() -> list[tuple]:
+    """BM25_QUERIES as (query_id, term, qtf) rows — the one place the
+    query-term counting loop lives (engine gates and SQL oracles must
+    agree on it by construction)."""
+    rows = []
+    for qid, qtext in BM25_QUERIES:
+        counts: dict[str, int] = {}
+        for t in _qtoks(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, c) for t, c in counts.items())
+    return rows
+
+
 # session-scoped memo: the driver runs every registry query in ONE
 # SparkSession over ONE sf_dir; shared intermediates (the cosine pair
 # table, the full LNO index + segments) are built once and persisted.
@@ -152,6 +165,20 @@ _NORM_SQL = (
 _TOKS_SQL = (
     f"list_filter(string_split_regex({_NORM_SQL}, '[^a-z0-9]+'), x -> x <> '')"
 )
+
+# shared word-level BM25 oracle prolog (toks/tf/dl/st/df CTE bodies):
+# the frozen formula's inputs are defined ONCE and interpolated into
+# every BM25-shaped oracle (_sql_bm25, _sql_boolean, _sql_fuzzy_topk,
+# _sql_snippets, _sql_mlt) so a constant or tokenization change cannot
+# leave one oracle silently testing different semantics
+_BM25_PROLOG = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)"""
 
 
 # ---------------------------------------------------------------------------
@@ -829,13 +856,9 @@ def q_bm25_topk(spark, sf_dir):
     dl = doc_lengths(docs, "tokens")
     stats_df = term_stats(postings)
     stats = corpus_stats(dl)
-    rows = []
-    for qid, qtext in BM25_QUERIES:
-        counts: dict[str, int] = {}
-        for t in _qtoks(qtext):
-            counts[t] = counts.get(t, 0) + 1
-        rows.extend((qid, t, c) for t, c in counts.items())
-    qterms = spark.createDataFrame(rows, "query_id string, term string, qtf int")
+    qterms = spark.createDataFrame(
+        _bm25_qrows(), "query_id string, term string, qtf int"
+    )
     scored = score_bm25(qterms, postings.join(dl, "doc_id"), stats_df, stats, BM25_K1, BM25_B)
     return topk(scored, BM25_K).select(
         "query_id",
@@ -846,22 +869,11 @@ def q_bm25_topk(spark, sf_dir):
 
 
 def _sql_bm25():
-    vals = []
-    for qid, qtext in BM25_QUERIES:
-        counts: dict[str, int] = {}
-        for t in _qtoks(qtext):
-            counts[t] = counts.get(t, 0) + 1
-        vals.extend(f"('{qid}', '{t}', {c})" for t, c in counts.items())
-    values = ",\n    ".join(vals)
+    values = ",\n    ".join(
+        f"('{qid}', '{t}', {c})" for qid, t, c in _bm25_qrows()
+    )
     return f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
-tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf
-  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
-),
-dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
-st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+WITH {_BM25_PROLOG},
 q(query_id, term, qtf) AS (VALUES
     {values}),
 contrib AS (
@@ -2432,14 +2444,7 @@ def _sql_boolean():
         for qid, terms in BOOL_QUERIES
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
-tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf
-  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
-),
-dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
-st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+WITH {_BM25_PROLOG},
 q(query_id, term, clause) AS (VALUES
     {qvals}),
 contrib AS (
@@ -2624,14 +2629,7 @@ def _sql_fuzzy_topk():
         f"('{qid}', '{t}')" for qid, ts in FUZZY_QUERIES for t in ts
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
-tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf
-  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
-),
-dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
-st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+WITH {_BM25_PROLOG},
 q(query_id, qterm) AS (VALUES
     {qvals}),
 exp AS (
@@ -2668,16 +2666,6 @@ SQL_FUZZY_TOPK = _sql_fuzzy_topk()
 # ---------------------------------------------------------------------------
 
 
-def _bm25f_qrows():
-    rows = []
-    for qid, qtext in BM25_QUERIES:
-        counts: dict[str, int] = {}
-        for t in _qtoks(qtext):
-            counts[t] = counts.get(t, 0) + 1
-        rows.extend((qid, t, c) for t, c in counts.items())
-    return rows
-
-
 def q_bm25f_roles(spark, sf_dir):
     from .searchops import bm25f_topk
 
@@ -2685,14 +2673,14 @@ def q_bm25f_roles(spark, sf_dir):
         "conv_id", "role", word_tokens_col(F.col("text")).alias("tokens")
     )
     return bm25f_topk(
-        _bm25f_qrows(), turn_tokens, BM25F_ROLE_WEIGHTS, BM25_K1, BM25_B,
+        _bm25_qrows(), turn_tokens, BM25F_ROLE_WEIGHTS, BM25_K1, BM25_B,
         SEARCH_K,
     )
 
 
 def _sql_bm25f():
     qvals = ",\n    ".join(
-        f"('{qid}', '{t}', {c})" for qid, t, c in _bm25f_qrows()
+        f"('{qid}', '{t}', {c})" for qid, t, c in _bm25_qrows()
     )
     wcase = " ".join(
         f"WHEN '{r}' THEN {w}" for r, w in sorted(BM25F_ROLE_WEIGHTS.items())
@@ -2747,12 +2735,7 @@ def q_search_snippets(spark, sf_dir):
     from .searchops import snippets_for_topk
 
     postings, dl, stats_df, stats = _word_index(spark, sf_dir)
-    rows = []
-    for qid, qtext in BM25_QUERIES:
-        counts: dict[str, int] = {}
-        for t in _qtoks(qtext):
-            counts[t] = counts.get(t, 0) + 1
-        rows.extend((qid, t, c) for t, c in counts.items())
+    rows = _bm25_qrows()
     qterms = spark.createDataFrame(rows, "query_id string, term string, qtf int")
     top = topk(
         score_bm25(
@@ -2770,22 +2753,11 @@ def q_search_snippets(spark, sf_dir):
 
 
 def _sql_snippets():
-    qvals = []
-    for qid, qtext in BM25_QUERIES:
-        counts: dict[str, int] = {}
-        for t in _qtoks(qtext):
-            counts[t] = counts.get(t, 0) + 1
-        qvals.extend(f"('{qid}', '{t}', {c})" for t, c in counts.items())
-    values = ",\n    ".join(qvals)
+    values = ",\n    ".join(
+        f"('{qid}', '{t}', {c})" for qid, t, c in _bm25_qrows()
+    )
     return f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
-tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf
-  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
-),
-dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
-st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+WITH {_BM25_PROLOG},
 q(query_id, term, qtf) AS (VALUES
     {values}),
 contrib AS (
@@ -2847,14 +2819,7 @@ def q_more_like_this(spark, sf_dir):
 def _sql_mlt():
     seeds = ",".join(f"({s})" for s in MLT_SEEDS)
     return f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
-tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf
-  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
-),
-dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
-st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM toks),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+WITH {_BM25_PROLOG},
 seeds(seed) AS (VALUES {seeds}),
 sel AS (
   SELECT s.seed, tf.term,

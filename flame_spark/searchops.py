@@ -348,50 +348,26 @@ def fuzzy_topk(
     DISTINCT expanded term set per query with qtf=1 — a vocabulary term
     reachable from several query terms contributes once. Queries whose
     expansion is empty return no rows. Ties break doc_id-ascending.
-    -> (query_id, rank, doc_id, score) with score rounded to 6 dp.
+    Scoring delegates to the canonical ``bm25.score_bm25`` (the one
+    definition of the frozen formula; qtf=1 makes the qtf multiply a
+    bitwise no-op). -> (query_id, rank, doc_id, score), score at 6 dp.
     """
-    from .floatops import np_log
+    from .bm25 import score_bm25, topk
 
-    exp = (
+    qterms = (
         fuzzy_expand(qdefs_rows, stats_df)
-        .select("query_id", "term", "df")
+        .select("query_id", "term")
         .distinct()
+        .withColumn("qtf", F.lit(1))
     )
-    n, avgdl = float(stats.n_docs), float(stats.avgdl)
-    q_idf = exp.select(
+    scored = score_bm25(
+        qterms, postings.join(dl, "doc_id"), stats_df, stats, k1, b
+    )
+    return topk(scored, k).select(
         "query_id",
-        "term",
-        np_log(
-            (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        ).alias("idf"),
-    )
-    joined = postings.join(dl, "doc_id").join(F.broadcast(q_idf), "term")
-    denom_dl = 1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl)
-    tf_comp = (F.col("tf") * (k1 + 1.0)) / (F.col("tf") + F.lit(k1) * denom_dl)
-    agg = (
-        joined.select(
-            "query_id",
-            "doc_id",
-            F.col("term").alias("t"),
-            (F.col("idf") * tf_comp).alias("val"),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(
-            _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias(
-                "score"
-            )
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("rank").cast("long").alias("rank"),
-            "doc_id",
-            F.round("score", 6).alias("score"),
-        )
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
     )
 
 
@@ -421,9 +397,13 @@ def bm25f_topk(
 
     Scale shape: the weight rides the token projection, so weighted
     tf/dl cost exactly the two aggregations a plain BM25 build needs —
-    field weighting adds zero shuffles; query side broadcast.
+    field weighting adds zero shuffles; query side broadcast. Once the
+    weighted (tf, dl, df, N, avgdl) quantities exist, scoring delegates
+    to the canonical ``bm25.score_bm25`` — BM25F is plain BM25 over
+    weighted inputs, not a second formula to keep in sync.
     """
-    from .floatops import np_log
+    from .bm25 import score_bm25, topk
+    from .postings import CorpusStats
 
     spark = turn_tokens.sparkSession
     wmap = F.create_map(
@@ -449,46 +429,24 @@ def bm25f_topk(
     qterms = spark.createDataFrame(
         qterms_rows, "query_id string, term string, qtf int"
     )
-    q_idf = dfr.join(F.broadcast(qterms), "term").select(
-        "term",
+    postings_dl = (
+        wtf.select(
+            F.col("conv_id").alias("doc_id"), "term", F.col("wtf").alias("tf")
+        ).join(dl.select(F.col("conv_id").alias("doc_id"), "dl"), "doc_id")
+    )
+    scored = score_bm25(
+        qterms,
+        postings_dl,
+        dfr,
+        CorpusStats(n_docs=int(n_docs), avgdl=float(avgdl)),
+        k1,
+        b,
+    )
+    return topk(scored, k).select(
         "query_id",
-        "qtf",
-        np_log(
-            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            + 1.0
-        ).alias("idf"),
-    )
-    joined = wtf.join(dl, "conv_id").join(F.broadcast(q_idf), "term")
-    denom_dl = 1.0 - b + b * F.col("dl") / F.lit(float(avgdl))
-    tf_comp = (F.col("wtf") * (k1 + 1.0)) / (
-        F.col("wtf") + F.lit(k1) * denom_dl
-    )
-    agg = (
-        joined.select(
-            "query_id",
-            "conv_id",
-            F.col("term").alias("t"),
-            (F.col("qtf") * F.col("idf") * tf_comp).alias("val"),
-        )
-        .groupBy("query_id", "conv_id")
-        .agg(
-            _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias(
-                "score"
-            )
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("conv_id")
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("rank").cast("long").alias("rank"),
-            "conv_id",
-            F.round("score", 6).alias("score"),
-        )
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").alias("conv_id"),
+        F.round("score", 6).alias("score"),
     )
 
 
@@ -507,6 +465,13 @@ def snippets_for_topk(
     contains at least one query term appears (BM25 top-k rows always
     do — their score comes from a match).
     -> (query_id, rank, doc_id, first_pos, snippet).
+
+    The positional stream is pruned by BOTH the query terms AND the
+    top-k doc ids (their join is q x k x |terms| rows, broadcast)
+    BEFORE the min-position aggregate — so the shuffle input is
+    bounded by matched positions inside top-k documents, never by
+    every document that happens to contain a (possibly stop-like)
+    query term corpus-wide.
     """
     spark = docs_tokens.sparkSession
     pts = spark.createDataFrame(
@@ -515,14 +480,11 @@ def snippets_for_topk(
     pos = docs_tokens.select(
         "doc_id", F.posexplode("tokens").alias("pos", "term")
     )
-    fp = (
-        pos.join(F.broadcast(pts), "term")
-        .groupBy("query_id", "doc_id")
+    hit_terms = pts.join(top.select("query_id", "rank", "doc_id"), "query_id")
+    hit = (
+        pos.join(F.broadcast(hit_terms), ["doc_id", "term"])
+        .groupBy("query_id", "rank", "doc_id")
         .agg(F.min("pos").alias("first_pos"))
-    )
-    hit = fp.join(
-        F.broadcast(top.select("query_id", "rank", "doc_id")),
-        ["query_id", "doc_id"],
     )
     return docs_tokens.join(F.broadcast(hit), "doc_id").select(
         "query_id",
@@ -555,7 +517,10 @@ def more_like_this(
     frequent terms with rarity (lowest document frequency) breaking tf
     ties. That is the tf-idf selection intent without comparing float
     products, so the selected set is bit-reproducible across engines.
-    Scoring is standard BM25 with qtf=1 over the selected set.
+    Scoring delegates to the canonical ``bm25.score_bm25`` with qtf=1
+    over the selected set (the seed doc's own score group is dropped
+    whole AFTER aggregation — per-(query, doc) groups are independent,
+    so the exclusion point cannot change any other score).
     -> (seed_doc_id, rank, doc_id, score) with score rounded to 6 dp.
 
     Scale shape: the seed filter is a tiny IN over postings (one pass,
@@ -563,60 +528,28 @@ def more_like_this(
     seeds x m_terms expansion is broadcast into the postings join —
     identical cost to a ``len(seeds) * m_terms``-term query batch.
     """
-    from .floatops import np_log
+    from .bm25 import score_bm25, topk
 
     if not seed_doc_ids:
         raise ValueError("more_like_this: empty seed_doc_ids")
     seed_rows = postings.where(
         F.col("doc_id").isin([int(s) for s in seed_doc_ids])
-    ).select(F.col("doc_id").alias("seed_doc_id"), "term", "tf")
-    n, avgdl = float(stats.n_docs), float(stats.avgdl)
-    with_df = seed_rows.join(stats_df, "term")
-    sel_w = Window.partitionBy("seed_doc_id").orderBy(
+    ).select(F.col("doc_id").alias("query_id"), "term", "tf")
+    sel_w = Window.partitionBy("query_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
-    q_idf = (
-        with_df.withColumn("rn", F.row_number().over(sel_w))
+    qterms = (
+        seed_rows.join(stats_df, "term")
+        .withColumn("rn", F.row_number().over(sel_w))
         .where(F.col("rn") <= m_terms)
-        .select(
-            "seed_doc_id",
-            "term",
-            np_log(
-                (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-            ).alias("idf"),
-        )
+        .select("query_id", "term", F.lit(1).alias("qtf"))
     )
-    joined = (
-        postings.join(dl, "doc_id")
-        .join(F.broadcast(q_idf), "term")
-        .where(F.col("doc_id") != F.col("seed_doc_id"))
-    )
-    denom_dl = 1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl)
-    tf_comp = (F.col("tf") * (k1 + 1.0)) / (F.col("tf") + F.lit(k1) * denom_dl)
-    agg = (
-        joined.select(
-            "seed_doc_id",
-            "doc_id",
-            F.col("term").alias("t"),
-            (F.col("idf") * tf_comp).alias("val"),
-        )
-        .groupBy("seed_doc_id", "doc_id")
-        .agg(
-            _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias(
-                "score"
-            )
-        )
-    )
-    w = Window.partitionBy("seed_doc_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "seed_doc_id",
-            F.col("rank").cast("long").alias("rank"),
-            "doc_id",
-            F.round("score", 6).alias("score"),
-        )
+    scored = score_bm25(
+        qterms, postings.join(dl, "doc_id"), stats_df, stats, k1, b
+    ).where(F.col("doc_id") != F.col("query_id"))
+    return topk(scored, k).select(
+        F.col("query_id").alias("seed_doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
     )
