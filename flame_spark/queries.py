@@ -87,6 +87,25 @@ MLT_M_TERMS = 5
 # collocation mining: bigrams under this count are dropped (PMI is
 # unstable for rare pairs)
 COLL_MIN_COUNT = 5
+# LM-Dirichlet ranking: the standard smoothing prior (Zhai & Lafferty
+# 2001); shares BM25_QUERIES so the two ranking families are compared
+# on the same query set
+LM_MU = 2000.0
+# proximity (NEAR/w) queries: (query_id, term_a, term_b, window);
+# n2's second term is out-of-vocabulary -> zero rows (edge case)
+NEAR_QUERIES = [
+    ("n0", "table", "scan", 3),
+    ("n1", "window", "filter", 6),
+    ("n2", "stream", "zzzmissing", 4),
+    ("n3", "batch", "merge", 2),
+]
+# faceted search: metadata columns counted over the OR-matched set
+FACET_FIELDS = ["lang", "source"]
+# pseudo-relevance feedback: feedback depth + expansion width
+PRF_FB_K = 5
+PRF_M_TERMS = 3
+# per-doc keyword extraction width
+KEYWORDS_M = 5
 # boolean retrieval over the LNO segment index (wand.wand_boolean):
 # clause vocabularies are DISJOINT within each query — a feature in
 # two clauses of one query is a contradiction the engine refuses
@@ -2859,6 +2878,242 @@ FROM ranked WHERE rank <= {SEARCH_K}
 SQL_MORE_LIKE_THIS = _sql_mlt()
 
 
+# ---------------------------------------------------------------------------
+# LM-Dirichlet ranking / facets / proximity / PRF / keywords
+# ---------------------------------------------------------------------------
+
+
+def _bm25_contrib_sql(qrel: str) -> str:
+    """The frozen BM25 contribution expression (one SQL definition,
+    matching bm25.score_bm25's float-op order), parametrized by the
+    query-relation name so multi-pass oracles (PRF) reuse it."""
+    return f"""
+  SELECT {qrel}.query_id, tf.doc_id,
+         {qrel}.qtf * (ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)))) AS c
+  FROM {qrel}
+  JOIN df USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st"""
+
+
+def q_lm_dirichlet(spark, sf_dir):
+    from .searchops import lm_dirichlet_topk
+
+    postings, dl, stats_df, _stats = _word_index(spark, sf_dir)
+    return lm_dirichlet_topk(
+        _bm25_qrows(), postings, dl, stats_df, LM_MU, SEARCH_K
+    )
+
+
+def _sql_lm_dirichlet():
+    values = ",\n    ".join(
+        f"('{qid}', '{t}', {c})" for qid, t, c in _bm25_qrows()
+    )
+    return f"""
+WITH {_BM25_PROLOG},
+cfc AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+ct AS (SELECT sum(dl)::DOUBLE AS c FROM dl),
+q(query_id, term, qtf) AS (VALUES
+    {values}),
+qe AS (SELECT q.query_id, q.term, q.qtf, cfc.cf FROM q JOIN cfc USING (term)),
+ql AS (SELECT query_id, sum(qtf)::DOUBLE AS qlen FROM qe GROUP BY query_id),
+contrib AS (
+  SELECT qe.query_id, tf.doc_id,
+         qe.qtf * ln(1.0 + tf.tf / ({LM_MU} * (qe.cf / ct.c))) AS c
+  FROM qe JOIN tf USING (term) CROSS JOIN ct
+),
+s AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY query_id, doc_id),
+scored AS (
+  SELECT s.query_id, s.doc_id,
+         s.s + ql.qlen * ln({LM_MU} / (dl.dl + {LM_MU})) AS score
+  FROM s JOIN dl USING (doc_id) JOIN ql USING (query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
+SQL_LM_DIRICHLET = _sql_lm_dirichlet()
+
+
+def q_search_facets(spark, sf_dir):
+    from .searchops import facet_counts
+
+    postings, _dl, _stats_df, _stats = _word_index(spark, sf_dir)
+    meta = _docs(spark, sf_dir, *FACET_FIELDS).drop("text")
+    rows = [(qid, t) for qid, t, _c in _bm25_qrows()]
+    return facet_counts(rows, postings, meta, FACET_FIELDS)
+
+
+def _sql_search_facets():
+    values = ",\n    ".join(
+        f"('{qid}', '{t}')"
+        for qid, t in sorted({(q, t) for q, t, _ in _bm25_qrows()})
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT query_id, '{c}' AS facet, {c} AS value, "
+        f"count(*)::BIGINT AS n_docs FROM m GROUP BY query_id, {c}"
+        for c in FACET_FIELDS
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+),
+q(query_id, term) AS (VALUES
+    {values}),
+matched AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+m AS (
+  SELECT matched.query_id, d.lang, d.source
+  FROM matched JOIN documents d USING (doc_id)
+)
+{branches}
+"""
+
+
+SQL_SEARCH_FACETS = _sql_search_facets()
+
+
+def q_near_topk(spark, sf_dir):
+    from .searchops import near_topk
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "tokens", word_tokens_col(F.col("text"))
+    )
+    return near_topk(NEAR_QUERIES, docs.select("doc_id", "tokens"), SEARCH_K)
+
+
+def _sql_near():
+    values = ",\n    ".join(
+        f"('{qid}', '{a}', '{b}', {w})" for qid, a, b, w in NEAR_QUERIES
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+pos AS (
+  SELECT doc_id, u.i::INT - 1 AS pos, tk[u.i::INT] AS term
+  FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)
+),
+q(query_id, ta, tb, win) AS (VALUES
+    {values}),
+mind AS (
+  SELECT q.query_id, a.doc_id, q.win,
+         min(abs(a.pos - b.pos))::BIGINT AS min_dist
+  FROM q
+  JOIN pos a ON a.term = q.ta
+  JOIN pos b ON b.term = q.tb AND b.doc_id = a.doc_id
+  GROUP BY q.query_id, a.doc_id, q.win
+),
+cand AS (SELECT query_id, doc_id, min_dist FROM mind WHERE min_dist <= win),
+ranked AS (
+  SELECT query_id, doc_id, min_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY min_dist ASC, doc_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, min_dist
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
+SQL_NEAR_TOPK = _sql_near()
+
+
+def q_prf_topk(spark, sf_dir):
+    from .searchops import prf_topk
+
+    postings, dl, stats_df, stats = _word_index(spark, sf_dir)
+    return prf_topk(
+        _bm25_qrows(), postings, dl, stats_df, stats, BM25_K1, BM25_B,
+        PRF_FB_K, PRF_M_TERMS, SEARCH_K,
+    )
+
+
+def _sql_prf():
+    values = ",\n    ".join(
+        f"('{qid}', '{t}', {c})" for qid, t, c in _bm25_qrows()
+    )
+    return f"""
+WITH {_BM25_PROLOG},
+q(query_id, term, qtf) AS (VALUES
+    {values}),
+contrib0 AS ({_bm25_contrib_sql("q")}
+),
+scores0 AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib0 GROUP BY query_id, doc_id),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scores0
+  ) WHERE rank <= {PRF_FB_K}
+),
+cand AS (
+  SELECT fb.query_id, tf.term, sum(tf.tf) AS fbtf
+  FROM fb JOIN tf USING (doc_id)
+  GROUP BY fb.query_id, tf.term
+),
+sel AS (
+  SELECT query_id, term FROM (
+    SELECT c.query_id, c.term,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY c.fbtf DESC, df.df ASC, c.term ASC
+           ) AS rn
+    FROM cand c JOIN df USING (term)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM q WHERE q.query_id = c.query_id AND q.term = c.term)
+  ) WHERE rn <= {PRF_M_TERMS}
+),
+q2 AS (
+  SELECT query_id, term, qtf FROM q
+  UNION ALL
+  SELECT query_id, term, 1 AS qtf FROM sel
+),
+contrib AS ({_bm25_contrib_sql("q2")}
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
+SQL_PRF_TOPK = _sql_prf()
+
+
+def q_text_keywords(spark, sf_dir):
+    from .textops import keywords_per_doc
+
+    postings, _dl, stats_df, _stats = _word_index(spark, sf_dir)
+    return keywords_per_doc(postings, stats_df, KEYWORDS_M)
+
+
+SQL_TEXT_KEYWORDS = f"""
+WITH {_BM25_PROLOG},
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, rank::BIGINT AS rank, term, tf::BIGINT AS tf, df::BIGINT AS df
+FROM ranked WHERE rank <= {KEYWORDS_M}
+"""
+
+
 def q_collocations(spark, sf_dir):
     from .textops import collocations
 
@@ -3059,6 +3314,11 @@ QUERIES = {
     "search_bm25f_roles": q_bm25f_roles,
     "search_snippets": q_search_snippets,
     "search_more_like_this": q_more_like_this,
+    "search_lm_dirichlet": q_lm_dirichlet,
+    "search_facets": q_search_facets,
+    "search_near_topk": q_near_topk,
+    "search_prf_topk": q_prf_topk,
+    "text_keywords": q_text_keywords,
     "text_collocations": q_collocations,
     "index_audit_stats": q_index_audit,
     "ann_cosine_topk": q_ann_bruteforce,
@@ -3125,6 +3385,11 @@ ORACLE_SQL = {
     "search_bm25f_roles": SQL_BM25F_ROLES,
     "search_snippets": SQL_SEARCH_SNIPPETS,
     "search_more_like_this": SQL_MORE_LIKE_THIS,
+    "search_lm_dirichlet": SQL_LM_DIRICHLET,
+    "search_facets": SQL_SEARCH_FACETS,
+    "search_near_topk": SQL_NEAR_TOPK,
+    "search_prf_topk": SQL_PRF_TOPK,
+    "text_keywords": SQL_TEXT_KEYWORDS,
     "text_collocations": SQL_COLLOCATIONS,
     "index_audit_stats": SQL_INDEX_AUDIT,
     "ann_cosine_topk": SQL_ANN_BRUTEFORCE,

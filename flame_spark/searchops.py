@@ -24,6 +24,16 @@ tf) plus doc lengths and term stats — with no new storage format:
 - ``more_like_this`` : seed-document similarity search — the seed's
   most characteristic terms (integer-deterministic tf/df selection)
   become a BM25 query over the rest of the corpus.
+- ``lm_dirichlet_topk``: query-likelihood ranking with Dirichlet-prior
+  smoothing (Zhai & Lafferty 2001) — a second ranking family over the
+  same postings, in its sparse rank-equivalent form.
+- ``facet_counts``   : matched-set facet aggregation (counts per
+  metadata value over the docs matching any query term).
+- ``near_topk``      : two-term proximity search — docs where the
+  terms co-occur within a token window, ranked by closest distance.
+- ``prf_topk``       : RM3-style pseudo-relevance feedback — BM25
+  feedback docs contribute integer-deterministic expansion terms, the
+  expanded query is rescored with the canonical BM25.
 
 All of these are pure DataFrame compositions (zero Python on the row
 path); the oracle SQL twins live in queries.py.
@@ -54,6 +64,24 @@ Scale notes (100 TB shapes):
   query-term join BEFORE the min-position aggregate, and the ranked
   top-k (q x k rows) is broadcast back into the token table — snippet
   assembly never shuffles the corpus.
+- dirichlet: identical join/aggregate skeleton to BM25 (one broadcast
+  of query terms + collection stats, one (query, doc) shuffle); the
+  document-length normalizer joins AFTER the aggregate on the tiny
+  candidate set, so the second scoring family costs no extra corpus
+  pass.
+- facets: the corpus-sized work is ONE distinct over (query, doc)
+  matches pruned by the broadcast term join; facet columns ride a
+  doc_id join and unpivot into a single count aggregate (one stack
+  projection, not one pass per facet field).
+- near: position streams are pruned by the broadcast term join before
+  any shuffle; both sides hash-partition on (query, doc), and the
+  min-distance partial-aggregates inside the join stage — shuffle
+  volume is matched-term occurrences, the per-doc tf_a x tf_b pair
+  expansion never crosses the wire.
+- prf: the feedback-doc set is q x fb_k rows (broadcast); expansion
+  selection is one aggregate over postings pruned by that broadcast;
+  the rescore is the same one-shuffle BM25 with a slightly wider
+  broadcast query side.
 """
 
 from __future__ import annotations
@@ -549,6 +577,277 @@ def more_like_this(
     ).where(F.col("doc_id") != F.col("query_id"))
     return topk(scored, k).select(
         F.col("query_id").alias("seed_doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def lm_dirichlet_topk(
+    qterms_rows: list[tuple],
+    postings: DataFrame,
+    dl: DataFrame,
+    stats_df: DataFrame,
+    mu: float,
+    k: int,
+) -> DataFrame:
+    """Query-likelihood top-k with Dirichlet-prior smoothing (Zhai &
+    Lafferty 2001), the standard second ranking family next to BM25,
+    in its sparse rank-equivalent form:
+
+        score(q, d) = sum_{t in q AND d} qtf_t * ln(1 + tf_td / (mu * (cf_t / C)))
+                      + Qlen * ln(mu / (dl_d + mu))
+
+    where C is the total collection token count, cf_t the collection
+    frequency, and Qlen the summed qtf over IN-VOCABULARY query terms
+    (out-of-vocabulary terms have p(t|C) = 0 and are ignored, the
+    Indri/Anserini convention). Candidates are docs matching at least
+    one in-vocab query term — exactly the set an inverted index can
+    enumerate; the dl-normalizer is a per-document constant shift that
+    cannot promote a zero-match document above it being absent.
+
+    qterms_rows: [(query_id, term, qtf)].
+    -> (query_id, rank, doc_id, score) with score rounded to 6 dp;
+    ties break doc_id-ascending.
+
+    Determinism: per-term contributions fold in fixed term order
+    (``_det_sum``); the length normalizer is one addition after the
+    fold, so scores are bit-stable across partitionings and match the
+    SQL oracle's sorted-term summation.
+    """
+    from .floatops import np_log
+
+    spark = postings.sparkSession
+    if len({(q, t) for q, t, _ in qterms_rows}) != len(qterms_rows):
+        raise ValueError("lm_dirichlet_topk: duplicate (query_id, term)")
+    qterms = spark.createDataFrame(
+        qterms_rows, "query_id string, term string, qtf int"
+    )
+    c_total = float(dl.agg(F.sum("dl")).collect()[0][0] or 0.0)
+    if c_total <= 0.0:
+        raise ValueError("lm_dirichlet_topk: empty collection (C = 0)")
+    # in-vocab query terms pick up cf from the term stats (tiny result)
+    q_cf = qterms.join(
+        stats_df.select("term", "cf"), "term", "inner"
+    ).select("query_id", "term", "qtf", F.col("cf").cast("double").alias("cf"))
+    qlen = q_cf.groupBy("query_id").agg(
+        F.sum("qtf").cast("double").alias("qlen")
+    )
+    joined = postings.join(F.broadcast(q_cf), "term")
+    contrib = F.col("qtf") * np_log(
+        1.0
+        + F.col("tf").cast("double")
+        / (F.lit(mu) * (F.col("cf") / F.lit(c_total)))
+    )
+    agg = (
+        joined.select(
+            "query_id", "doc_id", F.col("term").alias("t"), contrib.alias("val")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(_det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias("s"))
+    )
+    scored = (
+        agg.join(dl, "doc_id")
+        .join(F.broadcast(qlen), "query_id")
+        .withColumn(
+            "score",
+            F.col("s")
+            + F.col("qlen")
+            * np_log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def facet_counts(
+    qterms_rows: list[tuple],
+    postings: DataFrame,
+    doc_meta: DataFrame,
+    facet_cols: list[str],
+) -> DataFrame:
+    """Search-result facet aggregation: for each query, the number of
+    MATCHED documents (docs containing >= 1 query term, OR semantics)
+    per value of each facet column — the counts a search UI shows next
+    to its filters.
+
+    qterms_rows: [(query_id, term)] (duplicates folded); doc_meta:
+    (doc_id, <facet_cols...>). -> (query_id, facet, value, n_docs),
+    one row per (query, facet column, observed value).
+
+    Scale shape: the corpus-sized step is postings x broadcast(terms)
+    -> distinct (query_id, doc_id); facet values then ride a doc_id
+    join and ONE ``stack`` unpivot feeds a single count aggregate —
+    adding a facet column adds zero passes. NULL facet values count
+    under their own row (a search UI's "unknown" bucket) — the stack
+    literal keeps the facet NAME non-null, and groupBy treats a null
+    VALUE as one group.
+    """
+    spark = postings.sparkSession
+    if not facet_cols:
+        raise ValueError("facet_counts: no facet columns")
+    qt = spark.createDataFrame(
+        sorted(set(qterms_rows)), "query_id string, term string"
+    )
+    matched = (
+        postings.join(F.broadcast(qt), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    pairs = ", ".join(f"'{c}', {c}" for c in facet_cols)
+    unpivot = F.expr(
+        f"stack({len(facet_cols)}, {pairs}) AS (facet, value)"
+    )
+    return (
+        matched.join(doc_meta, "doc_id")
+        .select("query_id", unpivot)
+        .groupBy("query_id", "facet", "value")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def near_topk(
+    near_rows: list[tuple], docs_tokens: DataFrame, k: int
+) -> DataFrame:
+    """Two-term proximity (NEAR/w) search: for each query
+    (query_id, term_a, term_b, window), the documents containing BOTH
+    terms with minimum token distance min |pos_a - pos_b| <= window,
+    ranked closest-first (min_dist asc, doc_id asc).
+    -> (query_id, rank, doc_id, min_dist).
+
+    term_a == term_b is rejected (self-proximity is degenerate: the
+    minimum |pos - pos| over the same occurrence list is 0).
+
+    Scale shape: the posexplode streams are pruned by the broadcast
+    query-term join BEFORE any shuffle; both sides then hash-partition
+    on (query_id, doc_id) and the min-distance aggregate
+    partial-aggregates inside the join stage, so the per-doc
+    tf_a x tf_b pair expansion is compute inside one task, never rows
+    over the wire.
+    """
+    spark = docs_tokens.sparkSession
+    seen = set()
+    for qid, a, b, w in near_rows:
+        if a == b:
+            raise ValueError(f"near_topk: term_a == term_b for {qid!r}")
+        if qid in seen:
+            raise ValueError(f"near_topk: duplicate query_id {qid!r}")
+        seen.add(qid)
+    sides = [(qid, t, side) for qid, a, b, _w in near_rows
+             for side, t in (("a", a), ("b", b))]
+    qdf = spark.createDataFrame(sides, "query_id string, term string, side string")
+    wins = spark.createDataFrame(
+        [(qid, int(w)) for qid, _a, _b, w in near_rows],
+        "query_id string, win int",
+    )
+    pos = docs_tokens.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "term")
+    )
+    hits = pos.join(F.broadcast(qdf), "term").select(
+        "query_id", "doc_id", "side", "pos"
+    )
+    pa = hits.where(F.col("side") == "a").select(
+        "query_id", "doc_id", F.col("pos").alias("pa")
+    )
+    pb = hits.where(F.col("side") == "b").select(
+        "query_id", "doc_id", F.col("pos").alias("pb")
+    )
+    mind = (
+        pa.join(pb, ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"))
+    )
+    cand = mind.join(F.broadcast(wins), "query_id").where(
+        F.col("min_dist") <= F.col("win")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("min_dist"), F.asc("doc_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "min_dist",
+        )
+    )
+
+
+def prf_topk(
+    qterms_rows: list[tuple],
+    postings: DataFrame,
+    dl: DataFrame,
+    stats_df: DataFrame,
+    stats: CorpusStats,
+    k1: float,
+    b: float,
+    fb_k: int,
+    m_terms: int,
+    k: int,
+) -> DataFrame:
+    """RM3-style pseudo-relevance feedback: run the base BM25 query,
+    take the top ``fb_k`` documents as (pseudo-)relevant, mine
+    ``m_terms`` expansion terms from them, and rescore the corpus with
+    the expanded query.
+
+    Expansion selection is integer-deterministic, the more_like_this
+    convention: candidate terms from the feedback docs rank by
+    (summed tf over feedback docs DESC, df ASC, term ASC), original
+    query terms excluded — no float weights compared, so the selected
+    set is bit-reproducible across engines. The expanded query keeps
+    the original integer qtf and adds each expansion term with qtf=1;
+    both scoring passes delegate to the canonical ``bm25.score_bm25``
+    (one formula definition). -> (query_id, rank, doc_id, score),
+    score at 6 dp, ties doc_id-ascending.
+
+    Queries whose base result is empty (all terms OOV) stay empty —
+    no feedback docs, no expansion, no candidates.
+    """
+    from .bm25 import score_bm25, topk
+
+    spark = postings.sparkSession
+    qterms = spark.createDataFrame(
+        qterms_rows, "query_id string, term string, qtf int"
+    )
+    pdl = postings.join(dl, "doc_id")
+    fb = (
+        topk(score_bm25(qterms, pdl, stats_df, stats, k1, b), fb_k)
+        .select("query_id", "doc_id")
+    )
+    cand = (
+        postings.join(F.broadcast(fb), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").cast("long").alias("fbtf"))
+        .join(stats_df.select("term", "df"), "term")
+        .join(
+            F.broadcast(qterms.select("query_id", "term")),
+            ["query_id", "term"],
+            "left_anti",
+        )
+    )
+    sel_w = Window.partitionBy("query_id").orderBy(
+        F.desc("fbtf"), F.asc("df"), F.asc("term")
+    )
+    expansion = (
+        cand.withColumn("rn", F.row_number().over(sel_w))
+        .where(F.col("rn") <= m_terms)
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+    q2 = qterms.unionByName(expansion)
+    scored = score_bm25(q2, pdl, stats_df, stats, k1, b)
+    return topk(scored, k).select(
+        "query_id",
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("score"),

@@ -713,3 +713,44 @@ def collocations(
         "w1", "w2", F.col("c12").cast("long").alias("c12"),
         F.round(pmi, 6).alias("pmi"),
     )
+
+
+def keywords_per_doc(
+    postings: DataFrame, stats_df: DataFrame, m: int
+) -> DataFrame:
+    """Per-document keyword extraction: each document's ``m`` most
+    characteristic index terms — the labeling/tagging pass a curation
+    pipeline runs over every document before routing or sampling.
+
+    Selection is the integer-deterministic tf-idf intent shared with
+    searchops.more_like_this's seed-term step: rank a doc's terms by
+    (tf DESC, df ASC, term ASC) — most frequent first, rarity breaking
+    frequency ties — never comparing float products, so the selected
+    set is bit-reproducible across engines.
+    postings: (term, doc_id, tf); stats_df: (term, df, ...).
+    -> (doc_id, rank, term, tf, df).
+
+    Scale shape: one term-keyed shuffle join (postings x stats — both
+    corpus-derived, no broadcast pretense) and one doc_id-partitioned
+    window; per-doc state in the window is O(terms per doc). At 100 TB
+    both exchanges are unavoidable for exact df; an approximate df
+    (e.g. a broadcast CountMinSketch) could cut the first, traded
+    against exactness.
+    """
+    if m <= 0:
+        raise ValueError("keywords_per_doc: m must be positive")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        postings.join(stats_df.select("term", "df"), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )

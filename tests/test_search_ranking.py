@@ -1,0 +1,304 @@
+"""Ranking-family and search-analytics operators added round 5
+(searchops.lm_dirichlet_topk / facet_counts / near_topk / prf_topk,
+textops.keywords_per_doc): value semantics vs independent Python
+brute-forces on a hand-built corpus, plus contract edges."""
+
+import math
+import re
+
+import pytest
+
+DOCS = [
+    (0, "alpha beta alpha beta beta"),
+    (1, "alpha alpha alpha"),
+    (2, "beta gamma alpha"),
+    (3, "delta delta delta delta"),
+    (4, ""),
+]
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    from pyspark.sql import functions as F
+
+    from flame_spark.postings import (
+        build_postings, corpus_stats, doc_lengths, term_stats,
+    )
+    from flame_spark.textops import word_tokens_col
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs = docs.withColumn("tokens", word_tokens_col(F.col("text")))
+    postings = build_postings(docs, "tokens")
+    dl = doc_lengths(docs, "tokens")
+    stats_df = term_stats(postings)
+    stats = corpus_stats(dl)
+    return docs, postings, dl, stats_df, stats
+
+
+# ---------------------------------------------------------------------------
+# LM-Dirichlet
+# ---------------------------------------------------------------------------
+
+
+def _brute_dirichlet(query_counts, mu):
+    toks = {d: _toks(t) for d, t in DOCS}
+    c_total = sum(len(v) for v in toks.values())
+    cf = {}
+    for tk in toks.values():
+        for t in tk:
+            cf[t] = cf.get(t, 0) + 1
+    invocab = {t: q for t, q in query_counts.items() if t in cf}
+    qlen = sum(invocab.values())
+    out = {}
+    for d, tk in toks.items():
+        s, hit = 0.0, False
+        for t, qtf in sorted(invocab.items()):
+            tf = tk.count(t)
+            if not tf:
+                continue
+            hit = True
+            s += qtf * math.log(1.0 + tf / (mu * (cf[t] / c_total)))
+        if hit:
+            out[d] = s + qlen * math.log(mu / (len(tk) + mu))
+    return out
+
+
+def test_dirichlet_matches_bruteforce(spark, tiny):
+    from flame_spark.searchops import lm_dirichlet_topk
+
+    _docs, postings, dl, stats_df, _stats = tiny
+    mu = 10.0  # small prior so the length normalizer actually moves ranks
+    rows = [("x", "alpha", 2), ("x", "beta", 1)]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in lm_dirichlet_topk(rows, postings, dl, stats_df, mu, 10).collect()
+    }
+    exp = _brute_dirichlet({"alpha": 2, "beta": 1}, mu)
+    assert set(got) == set(exp)
+    for d in got:
+        assert got[d] == pytest.approx(exp[d], abs=1e-6)
+
+
+def test_dirichlet_oov_terms_ignored_and_candidates_sparse(spark, tiny):
+    """An OOV query term contributes neither a match nor query length;
+    docs matching no in-vocab term are absent (sparse candidates)."""
+    from flame_spark.searchops import lm_dirichlet_topk
+
+    _docs, postings, dl, stats_df, _stats = tiny
+    mu = 10.0
+    with_oov = [("x", "gamma", 1), ("x", "zzzmissing", 7)]
+    without = [("y", "gamma", 1)]
+    out = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in lm_dirichlet_topk(
+            with_oov + without, postings, dl, stats_df, mu, 10
+        ).collect()
+    }
+    # gamma appears only in doc 2 -> single candidate per query
+    assert set(out) == {("x", 2), ("y", 2)}
+    assert out[("x", 2)] == out[("y", 2)]
+
+
+def test_dirichlet_duplicate_query_term_raises(spark, tiny):
+    from flame_spark.searchops import lm_dirichlet_topk
+
+    _docs, postings, dl, stats_df, _stats = tiny
+    with pytest.raises(ValueError, match="duplicate"):
+        lm_dirichlet_topk(
+            [("x", "alpha", 1), ("x", "alpha", 2)], postings, dl, stats_df,
+            10.0, 5,
+        )
+
+
+# ---------------------------------------------------------------------------
+# facets
+# ---------------------------------------------------------------------------
+
+
+def test_facet_counts_or_semantics_and_null_bucket(spark, tiny):
+    from flame_spark.searchops import facet_counts
+
+    _docs, postings, _dl, _stats_df, _stats = tiny
+    meta = spark.createDataFrame(
+        [(0, "en", "s0"), (1, "en", "s1"), (2, "de", "s0"),
+         (3, None, "s1"), (4, "en", "s0")],
+        "doc_id long, lang string, source string",
+    )
+    rows = [("q", "beta"), ("q", "delta"), ("solo", "gamma")]
+    got = {
+        (r["query_id"], r["facet"], r["value"]): r["n_docs"]
+        for r in facet_counts(rows, postings, meta, ["lang", "source"]).collect()
+    }
+    # q matches docs {0, 2} (beta) + {3} (delta)
+    assert got[("q", "lang", "en")] == 1
+    assert got[("q", "lang", "de")] == 1
+    assert got[("q", "lang", None)] == 1  # null metadata keeps its bucket
+    assert got[("q", "source", "s0")] == 2
+    assert got[("q", "source", "s1")] == 1
+    # solo matches doc 2 only
+    assert got[("solo", "lang", "de")] == 1
+    assert got[("solo", "source", "s0")] == 1
+    assert sum(n for (q, f, _v), n in got.items()
+               if q == "solo" and f == "lang") == 1
+
+
+def test_facet_counts_empty_fields_raises(spark, tiny):
+    from flame_spark.searchops import facet_counts
+
+    _docs, postings, _dl, _stats_df, _stats = tiny
+    with pytest.raises(ValueError, match="facet"):
+        facet_counts([("q", "beta")], postings, postings, [])
+
+
+# ---------------------------------------------------------------------------
+# proximity
+# ---------------------------------------------------------------------------
+
+
+def test_near_min_distance_and_window_gate(spark, tiny):
+    from flame_spark.searchops import near_topk
+
+    docs, *_ = tiny
+    toks = docs.select("doc_id", "tokens")
+    # doc 0: alpha@[0,2], beta@[1,3,4] -> min dist 1
+    # doc 2: beta@0, alpha@2 -> min dist 2
+    out1 = near_topk([("w1", "alpha", "beta", 1)], toks, 10).collect()
+    assert {(r["doc_id"], r["min_dist"]) for r in out1} == {(0, 1)}
+    out2 = near_topk([("w2", "alpha", "beta", 2)], toks, 10).collect()
+    got = [(r["rank"], r["doc_id"], r["min_dist"]) for r in out2]
+    # closest-first, doc_id tie-break
+    assert sorted(got) == [(1, 0, 1), (2, 2, 2)]
+
+
+def test_near_oov_term_and_contract_errors(spark, tiny):
+    from flame_spark.searchops import near_topk
+
+    docs, *_ = tiny
+    toks = docs.select("doc_id", "tokens")
+    assert near_topk([("q", "alpha", "zzz", 9)], toks, 10).count() == 0
+    with pytest.raises(ValueError, match="term_a == term_b"):
+        near_topk([("q", "alpha", "alpha", 3)], toks, 10)
+    with pytest.raises(ValueError, match="duplicate"):
+        near_topk(
+            [("q", "alpha", "beta", 3), ("q", "beta", "gamma", 3)], toks, 10
+        )
+
+
+# ---------------------------------------------------------------------------
+# PRF
+# ---------------------------------------------------------------------------
+
+
+def _brute_bm25_scores(query_counts, k1, b):
+    toks = {d: _toks(t) for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for tk in toks.values():
+        for t in set(tk):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for d, tk in toks.items():
+        s, hit = 0.0, False
+        for t, qtf in sorted(query_counts.items()):
+            tf = tk.count(t)
+            if not tf or t not in df:
+                continue
+            hit = True
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += qtf * (idf * (tf * (k1 + 1.0))
+                        / (tf + k1 * (1.0 - b + b * len(tk) / avgdl)))
+        if hit:
+            out[d] = s
+    return out
+
+
+def _brute_prf(query_counts, k1, b, fb_k, m_terms):
+    toks = {d: _toks(t) for d, t in DOCS}
+    df = {}
+    for tk in toks.values():
+        for t in set(tk):
+            df[t] = df.get(t, 0) + 1
+    base = _brute_bm25_scores(query_counts, k1, b)
+    fb = [d for d, _s in sorted(base.items(), key=lambda kv: (-kv[1], kv[0]))][:fb_k]
+    cand = {}
+    for d in fb:
+        for t in toks[d]:
+            cand[t] = cand.get(t, 0) + 1
+    cand = {t: c for t, c in cand.items() if t not in query_counts}
+    sel = sorted(cand.items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))[:m_terms]
+    q2 = dict(query_counts)
+    for t, _c in sel:
+        q2[t] = 1
+    return q2, _brute_bm25_scores(q2, k1, b)
+
+
+def test_prf_expansion_and_rescoring_match_bruteforce(spark, tiny):
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import prf_topk
+
+    _docs, postings, dl, stats_df, stats = tiny
+    rows = [("p", "gamma", 1)]
+    # base: gamma hits doc 2 only -> feedback = {2}; expansion = doc 2's
+    # other terms {beta, alpha} ranked by (tf desc, df asc, term asc)
+    q2, exp = _brute_prf({"gamma": 1}, BM25_K1, BM25_B, fb_k=2, m_terms=2)
+    assert set(q2) == {"gamma", "alpha", "beta"}
+    got = {
+        r["doc_id"]: r["score"]
+        for r in prf_topk(
+            rows, postings, dl, stats_df, stats, BM25_K1, BM25_B, 2, 2, 10
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for d in got:
+        assert got[d] == pytest.approx(exp[d], abs=1e-6)
+
+
+def test_prf_all_oov_query_stays_empty(spark, tiny):
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import prf_topk
+
+    _docs, postings, dl, stats_df, stats = tiny
+    out = prf_topk(
+        [("p", "zzzmissing", 1)], postings, dl, stats_df, stats,
+        BM25_K1, BM25_B, 3, 3, 10,
+    )
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# keywords
+# ---------------------------------------------------------------------------
+
+
+def test_keywords_selection_and_tiebreaks(spark, tiny):
+    from flame_spark.textops import keywords_per_doc
+
+    _docs, postings, _dl, stats_df, _stats = tiny
+    got = {}
+    for r in keywords_per_doc(postings, stats_df, 3).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    for d in got:
+        got[d] = [t for _rk, t in sorted(got[d])]
+    # doc 0: beta tf=3 then alpha tf=2
+    assert got[0] == ["beta", "alpha"]
+    # doc 2: all tf=1 -> df asc breaks ties: gamma(1), beta(2), alpha(3)
+    assert got[2] == ["gamma", "beta", "alpha"]
+    # empty doc 4 has no postings
+    assert 4 not in got
+
+
+def test_keywords_m_caps_and_contract(spark, tiny):
+    from flame_spark.textops import keywords_per_doc
+
+    _docs, postings, _dl, stats_df, _stats = tiny
+    one = keywords_per_doc(postings, stats_df, 1)
+    assert {(r["doc_id"], r["term"]) for r in one.collect()} == {
+        (0, "beta"), (1, "alpha"), (2, "gamma"), (3, "delta"),
+    }
+    with pytest.raises(ValueError, match="positive"):
+        keywords_per_doc(postings, stats_df, 0)
