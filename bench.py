@@ -135,6 +135,7 @@ CURATION = [
     "text_stratified_sample",
     "text_curate_pipeline",
     "text_collocations",
+    "text_keywords",
     "transcript_conv_docs",
     "transcript_conv_windows",
 ]
@@ -156,6 +157,12 @@ SEARCH = [
     "search_bm25f_roles",
     "search_snippets",
     "search_more_like_this",
+    # second ranking family + search analytics (round 5): all share the
+    # memoized word-index build with boolean/suggest above
+    "search_lm_dirichlet",
+    "search_facets",
+    "search_near_topk",
+    "search_prf_topk",
     # index-layer boolean: shares the memoized LNO segment index with
     # the headline WAND gates (charged to whichever builds it first)
     "wand_boolean_lno",

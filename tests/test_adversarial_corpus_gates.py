@@ -90,6 +90,16 @@ SIMPLE_GATES = [
     "search_snippets",
     "search_more_like_this",
     "text_collocations",
+    # round-5 ranking/analytics gates: dirichlet stresses the ln/cf/C
+    # parity on degenerate docs (dl=0 normalizer), near the positional
+    # parity, facets the null-metadata bucket (documents fixture has
+    # non-null lang/source; hostile TEXT is the stressor), prf the
+    # two-pass rank determinism, keywords the tf/df tie-breaks
+    "search_lm_dirichlet",
+    "search_facets",
+    "search_near_topk",
+    "search_prf_topk",
+    "text_keywords",
 ]
 FULL_PIPELINE_GATES = [
     "wand_topk_lno",

@@ -250,3 +250,31 @@ def test_conv_windows_add_no_shuffle_over_assembly(spark, queries):
     for bad in ("EvalPython", "Join", "CartesianProduct"):
         assert bad not in win_plan, bad
     assert win_plan.count("Exchange") == docs_plan.count("Exchange")
+
+
+def test_ranking_analytics_gates_no_quadratic_joins(spark, queries):
+    """Round-5 ranking/analytics gates: every join must stay a hash
+    equi-join (broadcast or shuffled) — no CartesianProduct, no
+    BroadcastNestedLoopJoin. dirichlet/prf use the np_log Arrow UDF,
+    so they are exempt from zero-Python pins (like j6), but not from
+    the join-shape pins."""
+    for name in [
+        "search_lm_dirichlet",
+        "search_facets",
+        "search_near_topk",
+        "search_prf_topk",
+        "text_keywords",
+    ]:
+        plan = _plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_near_and_facets_prune_via_broadcast_before_shuffle(spark, queries):
+    """The corpus-sized position/posting streams must be pruned by a
+    BroadcastHashJoin on the tiny query side before any exchange —
+    the property that keeps shuffle volume proportional to matches,
+    not corpus tokens."""
+    for name in ["search_near_topk", "search_facets"]:
+        plan = _plan(queries[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
