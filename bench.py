@@ -163,6 +163,9 @@ SEARCH = [
     "search_facets",
     "search_near_topk",
     "search_prf_topk",
+    # hybrid lexical+dense RRF: word index + one dense sweep over the
+    # embeddings table
+    "search_hybrid_rrf",
     # index-layer boolean: shares the memoized LNO segment index with
     # the headline WAND gates (charged to whichever builds it first)
     "wand_boolean_lno",

@@ -106,6 +106,17 @@ PRF_FB_K = 5
 PRF_M_TERMS = 3
 # per-doc keyword extraction width
 KEYWORDS_M = 5
+# hybrid lexical+dense retrieval: (query_id, text, query_vec_id) —
+# embeddings are keyed by vec_id aligned with doc_id; h2's text is
+# all-OOV so it degrades to dense-only (edge case)
+HYBRID_QUERIES = [
+    ("h0", "table scan merge join", 0),
+    ("h1", "window filter stream", 1),
+    ("h2", "zzzmissing", 2),
+]
+RRF_K = 60
+HYBRID_K_LEX = 10
+HYBRID_K_DENSE = 10
 # boolean retrieval over the LNO segment index (wand.wand_boolean):
 # clause vocabularies are DISJOINT within each query — a feature in
 # two clauses of one query is a contradiction the engine refuses
@@ -3114,6 +3125,96 @@ FROM ranked WHERE rank <= {KEYWORDS_M}
 """
 
 
+def _hybrid_qrows() -> list[tuple]:
+    rows = []
+    for qid, qtext, _v in HYBRID_QUERIES:
+        counts: dict[str, int] = {}
+        for t in _qtoks(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, c) for t, c in counts.items())
+    return rows
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    from .embedops import load_embeddings
+    from .searchops import hybrid_rrf_topk
+
+    postings, dl, stats_df, stats = _word_index(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "vec")
+    qvecs = [(qid, v) for qid, _t, v in HYBRID_QUERIES]
+    return hybrid_rrf_topk(
+        _hybrid_qrows(), qvecs, postings, dl, stats_df, stats, emb,
+        BM25_K1, BM25_B, HYBRID_K_LEX, HYBRID_K_DENSE, RRF_K, SEARCH_K,
+    )
+
+
+def _sql_hybrid():
+    tvals = ",\n    ".join(
+        f"('{qid}', '{t}', {c})" for qid, t, c in _hybrid_qrows()
+    )
+    vvals = ",\n    ".join(
+        f"('{qid}', {v})" for qid, _t, v in HYBRID_QUERIES
+    )
+    return f"""
+WITH {_BM25_PROLOG},
+q(query_id, term, qtf) AS (VALUES
+    {tvals}),
+contrib AS ({_bm25_contrib_sql("q")}
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+lex AS (
+  SELECT query_id, doc_id, lrank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS lrank
+    FROM scores
+  ) WHERE lrank <= {HYBRID_K_LEX}
+),
+qv(query_id, qvec) AS (VALUES
+    {vvals}),
+e AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+qe AS (SELECT qv.query_id, qv.qvec, e.v AS qv_v FROM qv JOIN e ON e.vec_id = qv.qvec),
+flat AS (
+  SELECT qe.query_id, e.vec_id, unnest(qe.qv_v) AS a, unnest(e.v) AS b
+  FROM qe CROSS JOIN e WHERE e.vec_id <> qe.qvec
+),
+cos AS (
+  SELECT query_id, vec_id,
+         sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cosine
+  FROM flat GROUP BY query_id, vec_id
+),
+dense AS (
+  SELECT query_id, doc_id, drank FROM (
+    SELECT query_id, vec_id AS doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS drank
+    FROM cos
+  ) WHERE drank <= {HYBRID_K_DENSE}
+),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_K} + l.lrank), 0.0)
+           + coalesce(1.0 / ({RRF_K} + d.drank), 0.0) AS score
+  FROM lex l
+  FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
+SQL_HYBRID_RRF = _sql_hybrid()
+
+
 def q_collocations(spark, sf_dir):
     from .textops import collocations
 
@@ -3318,6 +3419,7 @@ QUERIES = {
     "search_facets": q_search_facets,
     "search_near_topk": q_near_topk,
     "search_prf_topk": q_prf_topk,
+    "search_hybrid_rrf": q_hybrid_rrf,
     "text_keywords": q_text_keywords,
     "text_collocations": q_collocations,
     "index_audit_stats": q_index_audit,
@@ -3389,6 +3491,7 @@ ORACLE_SQL = {
     "search_facets": SQL_SEARCH_FACETS,
     "search_near_topk": SQL_NEAR_TOPK,
     "search_prf_topk": SQL_PRF_TOPK,
+    "search_hybrid_rrf": SQL_HYBRID_RRF,
     "text_keywords": SQL_TEXT_KEYWORDS,
     "text_collocations": SQL_COLLOCATIONS,
     "index_audit_stats": SQL_INDEX_AUDIT,

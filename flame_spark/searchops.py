@@ -852,3 +852,96 @@ def prf_topk(
         "doc_id",
         F.round("score", 6).alias("score"),
     )
+
+
+def hybrid_rrf_topk(
+    qterms_rows: list[tuple],
+    qvec_rows: list[tuple],
+    postings: DataFrame,
+    dl: DataFrame,
+    stats_df: DataFrame,
+    stats: CorpusStats,
+    emb: DataFrame,
+    k1: float,
+    b: float,
+    k_lex: int,
+    k_dense: int,
+    rrf_k: int,
+    k: int,
+) -> DataFrame:
+    """Hybrid lexical + dense retrieval fused by Reciprocal Rank
+    Fusion (Cormack, Clarke & Buettcher 2009): each query has a text
+    part (BM25 over the word postings, canonical ``bm25.score_bm25``)
+    and a dense part (exact cosine top-k over the embedding table,
+    ``embedops.cosine_topk_bruteforce``, self-vector excluded); a doc
+    appearing in either ranked list scores
+
+        rrf(d) = [d in lex]  * 1/(rrf_k + lex_rank(d))
+               + [d in dense] * 1/(rrf_k + dense_rank(d))
+
+    RRF is rank-based — no score-scale calibration between the two
+    retrievers, and the fused score is a sum of two exactly
+    representable reciprocals in a fixed order, so it is
+    bit-deterministic across engines and partitionings.
+
+    qterms_rows: [(query_id, term, qtf)]; qvec_rows:
+    [(query_id, query_vec_id)] — embeddings are keyed by vec_id
+    aligned with doc_id. A query with only OOV text degrades to
+    dense-only (its lexical list is empty); a query_vec_id absent
+    from the embedding table degrades to lexical-only.
+    -> (query_id, rank, doc_id, score) with score rounded to 6 dp;
+    ties break doc_id-ascending.
+
+    Scale shape: both branch outputs are q x k ranked lists (tiny);
+    the fusion full-outer join and final window never touch corpus
+    rows. The expensive parts are the branches themselves — one
+    broadcast-BM25 pass and one broadcast-query dense sweep (swap in
+    ``cosine_topk_ivf`` for the sub-linear dense path at scale).
+    """
+    from .bm25 import score_bm25, topk
+    from .embedops import cosine_topk_bruteforce
+
+    spark = postings.sparkSession
+    if len({q for q, _v in qvec_rows}) != len(qvec_rows):
+        raise ValueError("hybrid_rrf_topk: duplicate query_id in qvec_rows")
+    qterms = spark.createDataFrame(
+        qterms_rows, "query_id string, term string, qtf int"
+    )
+    lex = topk(
+        score_bm25(qterms, postings.join(dl, "doc_id"), stats_df, stats, k1, b),
+        k_lex,
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    vec_ids = sorted({int(v) for _q, v in qvec_rows})
+    qmap = spark.createDataFrame(
+        [(q, int(v)) for q, v in qvec_rows], "query_id string, qvec_id long"
+    )
+    dense = (
+        cosine_topk_bruteforce(emb, vec_ids, k=k_dense)
+        .withColumnRenamed("query_id", "qvec_id")
+        .withColumnRenamed("rank", "dense_rank")
+        .join(F.broadcast(qmap), "qvec_id")
+        .select("query_id", F.col("vec_id").alias("doc_id"), "dense_rank")
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -302,3 +302,122 @@ def test_keywords_m_caps_and_contract(spark, tiny):
     }
     with pytest.raises(ValueError, match="positive"):
         keywords_per_doc(postings, stats_df, 0)
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF
+# ---------------------------------------------------------------------------
+
+EMB = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.9, 0.1]),
+    (4, [0.5, 0.5, 0.0]),
+]
+
+
+def _brute_hybrid(query_counts, qvec_id, k1, b, k_lex, k_dense, rrf_k):
+    import numpy as np
+
+    lex_scores = _brute_bm25_scores(query_counts, k1, b)
+    lex_rank = {
+        d: i + 1
+        for i, (d, _s) in enumerate(
+            sorted(lex_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k_lex]
+        )
+    }
+    vecs = {i: np.array(v) for i, v in EMB}
+    dense_rank = {}
+    if qvec_id in vecs:
+        qv = vecs[qvec_id]
+        cos = {
+            d: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for d, v in vecs.items()
+            if d != qvec_id
+        }
+        dense_rank = {
+            d: i + 1
+            for i, (d, _c) in enumerate(
+                sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:k_dense]
+            )
+        }
+    out = {}
+    for d in set(lex_rank) | set(dense_rank):
+        s = 0.0
+        if d in lex_rank:
+            s += 1.0 / (rrf_k + lex_rank[d])
+        if d in dense_rank:
+            s += 1.0 / (rrf_k + dense_rank[d])
+        out[d] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_emb(spark):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        EMB, "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").alias("vec"))
+
+
+def test_hybrid_rrf_matches_bruteforce(spark, tiny, tiny_emb):
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import hybrid_rrf_topk
+
+    _docs, postings, dl, stats_df, stats = tiny
+    got = {
+        r["doc_id"]: r["score"]
+        for r in hybrid_rrf_topk(
+            [("h", "alpha", 1), ("h", "beta", 1)], [("h", 0)],
+            postings, dl, stats_df, stats, tiny_emb,
+            BM25_K1, BM25_B, 3, 3, 60, 10,
+        ).collect()
+    }
+    exp = _brute_hybrid({"alpha": 1, "beta": 1}, 0, BM25_K1, BM25_B, 3, 3, 60)
+    assert set(got) == set(exp)
+    for d in got:
+        assert got[d] == pytest.approx(exp[d], abs=1e-6)
+    # vec 0's nearest neighbors (1, then 4) must be present via the
+    # dense branch even where the lexical branch missed them
+    assert 1 in got
+
+
+def test_hybrid_rrf_degrades_each_branch(spark, tiny, tiny_emb):
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import hybrid_rrf_topk
+
+    _docs, postings, dl, stats_df, stats = tiny
+    out = hybrid_rrf_topk(
+        # d: all-OOV text -> dense-only; l: qvec 99 absent -> lex-only
+        [("d", "zzzmissing", 1), ("l", "gamma", 1)],
+        [("d", 2), ("l", 99)],
+        postings, dl, stats_df, stats, tiny_emb,
+        BM25_K1, BM25_B, 3, 3, 60, 10,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    # dense-only: ranks purely from cosine vs vec 2 (self excluded)
+    exp_d = _brute_hybrid({"zzzmissing": 1}, 2, BM25_K1, BM25_B, 3, 3, 60)
+    assert by_q["d"] == {
+        d: pytest.approx(s, abs=1e-6) for d, s in exp_d.items()
+    }
+    assert 2 not in by_q["d"]
+    # lex-only: gamma appears in doc 2 only
+    assert set(by_q["l"]) == {2}
+    assert by_q["l"][2] == pytest.approx(1.0 / 61.0, abs=1e-6)
+
+
+def test_hybrid_rrf_duplicate_qvec_raises(spark, tiny, tiny_emb):
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.searchops import hybrid_rrf_topk
+
+    _docs, postings, dl, stats_df, stats = tiny
+    with pytest.raises(ValueError, match="duplicate"):
+        hybrid_rrf_topk(
+            [("h", "alpha", 1)], [("h", 0), ("h", 1)],
+            postings, dl, stats_df, stats, tiny_emb,
+            BM25_K1, BM25_B, 3, 3, 60, 10,
+        )
