@@ -170,6 +170,9 @@ SEARCH = [
     # the headline WAND gates (charged to whichever builds it first)
     "wand_boolean_lno",
     "wand_boolean_serve",
+    # LM-Dirichlet served from the SAME stored segments (tf-stream
+    # decode; includes the one-time dl reconstruction pass)
+    "wand_dirichlet_lno",
     # full decode-and-verify audit of that same segment index
     "index_audit_stats",
 ]

@@ -546,6 +546,71 @@ FROM ranked WHERE rank <= {BM25_K}
 
 SQL_WAND_TOPK_LNO = _sql_wand_lno()
 
+
+def _sql_wand_dirichlet():
+    """Oracle twin for the segment-served LM-Dirichlet path: the LM
+    formula over the SAME LNO(3,1) term space as _sql_wand_lno (same
+    contract scope: simple-norm twin, coincides on committed corpora).
+    cf/C/dl are relational here; the engine derives them from the
+    stored segment tf streams — their equality IS the gate."""
+    vals = []
+    for qid, qtext in BM25_QUERIES:
+        for i, t in enumerate(_qtoks(qtext)):
+            vals.append(f"('{qid}', {i}, '{t}')")
+    values = ",\n    ".join(vals)
+    return f"""
+WITH {_LNO_CTES},
+p AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM feats GROUP BY doc_id, term),
+dl AS (SELECT doc_id, (3 * greatest(len(tk) - 2, 0))::DOUBLE AS dl FROM toks),
+cfr AS (SELECT term, sum(tf) AS cf FROM p GROUP BY term),
+ct AS (SELECT sum(dl)::DOUBLE AS c FROM dl),
+qtok(query_id, qpos, tok) AS (VALUES
+    {values}),
+qids AS (SELECT q.query_id, q.qpos, vocab.tid FROM qtok q JOIN vocab USING (tok)),
+qseq AS (
+  SELECT query_id, tid::HUGEINT AS tid,
+         row_number() OVER (PARTITION BY query_id ORDER BY qpos) AS rn
+  FROM qids
+),
+qtrip AS (
+  SELECT a.query_id, a.tid AS t0, b.tid AS t1, c.tid AS t2
+  FROM qseq a
+  JOIN qseq b ON b.query_id = a.query_id AND b.rn = a.rn + 1
+  JOIN qseq c ON c.query_id = a.query_id AND c.rn = a.rn + 2
+),
+qfeats AS (
+  SELECT query_id, ((t0 + (SELECT v FROM vc) * t1) % {MOD})::BIGINT AS term FROM qtrip
+  UNION ALL
+  SELECT query_id, ((t0 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM qtrip
+  UNION ALL
+  SELECT query_id, ((t1 + (SELECT v FROM vc) * t2) % {MOD})::BIGINT FROM qtrip
+),
+q AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qfeats GROUP BY query_id, term),
+qe AS (SELECT q.query_id, q.term, q.qtf, cfr.cf FROM q JOIN cfr USING (term)),
+ql AS (SELECT query_id, sum(qtf)::DOUBLE AS qlen FROM qe GROUP BY query_id),
+contrib AS (
+  SELECT qe.query_id, p.doc_id,
+         qe.qtf * ln(1.0 + p.tf / ({LM_MU} * (qe.cf / ct.c))) AS c
+  FROM qe JOIN p USING (term) CROSS JOIN ct
+),
+s AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY query_id, doc_id),
+scored AS (
+  SELECT s.query_id, s.doc_id,
+         s.s + ql.qlen * ln({LM_MU} / (dl.dl + {LM_MU})) AS score
+  FROM s JOIN dl USING (doc_id) JOIN ql USING (query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+SQL_WAND_DIRICHLET_LNO = _sql_wand_dirichlet()
+
 # ---------------------------------------------------------------------------
 # incremental merge: initial build on doc_id < INC_SPLIT, stream-append
 # the rest, merge — the merged segment structure must equal computing
@@ -1664,6 +1729,38 @@ def q_wand_topk_lno(spark, sf_dir):
         {"query_id": qid, "query_text": qtext} for qid, qtext in BM25_QUERIES
     ]
     return wand_bm25_topk(spark, queries, serving, segments, k=BM25_K).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_wand_dirichlet_lno(spark, sf_dir):
+    """Second ranking family served from the SAME stored segment table
+    as the WAND gates: LM-Dirichlet recomputed from the stored tf
+    streams, with cf decoded from the query terms' segment rows and
+    C/dl reconstructed once by doc_lengths_from_segments — no scoring
+    input outside the index."""
+    from .pipeline import query_terms_local
+    from .wand import dirichlet_topk_segments, doc_lengths_from_segments
+
+    serving, segments = _lno_index(spark, sf_dir)
+
+    def build_dl():
+        dl = doc_lengths_from_segments(segments).persist()
+        dl.count()
+        return dl
+
+    dl_df = _memo(spark, sf_dir, "lno_dl_from_segments", build_dl)
+    qterms = query_terms_local(
+        spark,
+        [{"query_id": qid, "query_text": t} for qid, t in BM25_QUERIES],
+        serving,
+    )
+    return dirichlet_topk_segments(
+        qterms, segments, dl_df, LM_MU, BM25_K
+    ).select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
@@ -3434,6 +3531,7 @@ QUERIES = {
     "a8_otsu_threshold": q_otsu_threshold,
     "wand_topk_lno": q_wand_topk_lno,
     "wand_serve_batch": q_wand_serve_batch,
+    "wand_dirichlet_lno": q_wand_dirichlet_lno,
     "wand_boolean_lno": q_wand_boolean_lno,
     "wand_boolean_serve": q_wand_boolean_serve,
     "ann_ivf_topk": q_ann_ivf,
@@ -3515,6 +3613,7 @@ ORACLE_SQL = {
     # (exhaustive boolean BM25 over the LNO term space) — full oracle;
     # the batched boolean SERVING path is defined to equal it, so it
     # shares the same oracle (as wand_serve_batch does for plain WAND)
+    "wand_dirichlet_lno": SQL_WAND_DIRICHLET_LNO,
     "wand_boolean_lno": SQL_WAND_BOOLEAN_LNO,
     "wand_boolean_serve": SQL_WAND_BOOLEAN_LNO,
     # deterministic engine paths with committed fixture-parquet oracles

@@ -681,3 +681,159 @@ def wand_boolean(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# second ranking family over the SAME stored index: LM-Dirichlet
+# ---------------------------------------------------------------------------
+
+
+def doc_lengths_from_segments(segments: DataFrame) -> DataFrame:
+    """(doc_id, dl) recovered from the stored tf streams: dl is the sum
+    of a document's term frequencies, and every posting of a doc lives
+    in its own doc-range shard — so one decode pass + one doc-keyed
+    aggregation reconstructs exact document lengths from the segment
+    table ALONE. This is what makes the compressed index sufficient
+    serve-time state for ranking families beyond the one whose scores
+    were precomputed at build (see dirichlet_topk_segments).
+
+    Scale shape: materialized ONCE per index build/merge (like the
+    serve cache), not per query; the decode is Arrow-batched NumPy and
+    the aggregation is a single doc-keyed exchange whose input is one
+    row per posting.
+    """
+
+    def explode_rows(it):
+        for pdf in it:
+            outs = []
+            for dd, tfb in zip(pdf["doc_deltas"].values, pdf["tfs"].values):
+                docs = np.cumsum(varbyte_decode(bytes(dd)).astype(np.int64))
+                tfs = varbyte_decode(bytes(tfb)).astype(np.int64)
+                outs.append(pd.DataFrame({"doc_id": docs, "tf": tfs}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    pairs = segments.select("doc_deltas", "tfs").mapInPandas(
+        explode_rows, schema="doc_id long, tf long"
+    )
+    return pairs.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def dirichlet_topk_segments(
+    qterms: DataFrame,
+    segments: DataFrame,
+    dl_df: DataFrame,
+    mu: float,
+    k: int,
+) -> DataFrame:
+    """Query-likelihood/Dirichlet top-k served from the SAME compressed
+    segment table the BM25/WAND scorers use — one stored index, two
+    ranking families. The per-posting BM25 scores baked into the
+    segments are ignored; scoring recomputes from the stored tf
+    streams:
+
+        score(q, d) = sum_{t in q AND d} qtf * ln(1 + tf / (mu * (cf_t / C)))
+                      + Qlen * ln(mu / (dl_d + mu))
+
+    with cf_t decoded from the query terms' own segment rows, C and dl
+    from ``doc_lengths_from_segments`` — every scoring input derives
+    from the index, no side artifacts. Matches searchops'
+    relational ``lm_dirichlet_topk`` semantics (OOV terms ignored,
+    candidates only from the index, ties doc_id-ascending).
+
+    The scan is EXHAUSTIVE over matched postings: block-max
+    annotations are BM25-specific upper bounds and cannot prune a
+    different formula (a production index wanting pruned Dirichlet
+    would store per-block tf maxima the same way — noted, not built).
+    qterms: DataFrame (query_id, term, qtf).
+    -> (query_id, rank, doc_id, score), score at 6 dp.
+
+    Determinism: each document's postings live in exactly one shard,
+    so its whole contribution sum is computed inside one kernel call
+    from term-sorted arrays — bit-stable across partitionings; the
+    length normalizer is one addition after the fold.
+    """
+    from .floatops import np_log
+
+    qseg = (
+        segments.join(F.broadcast(qterms), "term", "inner")
+        .select("query_id", "shard", "term", "qtf", "doc_deltas", "tfs")
+        .persist()
+    )
+
+    @F.pandas_udf("long")
+    def row_tf_sum(tfb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(varbyte_decode(bytes(b)).sum()) for b in tfb],
+            dtype="int64",
+        )
+
+    cf_df = (
+        qseg.select("term", row_tf_sum(F.col("tfs")).alias("rtf"))
+        .groupBy("term")
+        .agg(F.sum("rtf").alias("cf"))
+    )
+    c_total = float(dl_df.agg(F.sum("dl")).collect()[0][0] or 0.0)
+    if c_total <= 0.0:
+        raise ValueError("dirichlet_topk_segments: empty index (C = 0)")
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = pdf["query_id"].iloc[0]
+        # term-ascending: the deterministic fold order (same convention
+        # as _wand_shard_kernel)
+        pdf = pdf.sort_values("term")
+        doc_parts, contrib_parts = [], []
+        for qtf, cf, dd, tfb in zip(
+            pdf["qtf"].values, pdf["cf"].values,
+            pdf["doc_deltas"].values, pdf["tfs"].values,
+        ):
+            docs = np.cumsum(varbyte_decode(bytes(dd)).astype(np.int64))
+            tfs = varbyte_decode(bytes(tfb)).astype(np.float64)
+            doc_parts.append(docs)
+            contrib_parts.append(
+                float(qtf)
+                * np.log(1.0 + tfs / (mu * (float(cf) / c_total)))
+            )
+        if not doc_parts:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "s": []})
+        docs = np.concatenate(doc_parts)
+        contribs = np.concatenate(contrib_parts)
+        # stable sort by doc keeps the term-ascending order within each
+        # doc's run, so the reduceat fold order is deterministic
+        order = np.argsort(docs, kind="stable")
+        docs, contribs = docs[order], contribs[order]
+        starts = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+        return pd.DataFrame(
+            {
+                "query_id": query_id,
+                "doc_id": docs[starts],
+                "s": np.add.reduceat(contribs, starts),
+            }
+        )
+
+    partial = (
+        qseg.join(F.broadcast(cf_df), "term")
+        .groupBy("query_id", "shard")
+        .applyInPandas(score_group, schema="query_id string, doc_id long, s double")
+    )
+    ql = (
+        qterms.join(F.broadcast(cf_df.select("term")), "term")
+        .groupBy("query_id")
+        .agg(F.sum("qtf").cast("double").alias("qlen"))
+    )
+    scored = (
+        partial.join(dl_df, "doc_id")
+        .join(F.broadcast(ql), "query_id")
+        .withColumn(
+            "score",
+            F.col("s")
+            + F.col("qlen")
+            * np_log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

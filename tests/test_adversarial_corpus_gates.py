@@ -106,6 +106,10 @@ FULL_PIPELINE_GATES = [
     "wand_serve_batch",
     "wand_boolean_lno",
     "wand_boolean_serve",
+    # second ranking family served from the same stored segments:
+    # stresses the tf-stream decode (cf/C/dl reconstruction) on
+    # degenerate and hostile docs
+    "wand_dirichlet_lno",
 ]
 
 HOSTILE = list("\t\n\x0b\f\r\xa0　ſꝛæß'%[](){}\\^$|*+?éü😀𝔘") + ["́"]

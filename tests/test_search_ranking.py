@@ -421,3 +421,103 @@ def test_hybrid_rrf_duplicate_qvec_raises(spark, tiny, tiny_emb):
             postings, dl, stats_df, stats, tiny_emb,
             BM25_K1, BM25_B, 3, 3, 60, 10,
         )
+
+
+# ---------------------------------------------------------------------------
+# segment-served Dirichlet (one stored index, two ranking families)
+# ---------------------------------------------------------------------------
+
+TERM_IDS = {"alpha": 11, "beta": 22, "gamma": 33, "delta": 44}
+
+
+@pytest.fixture(scope="module")
+def tiny_segments(spark, tiny):
+    """Compressed segments built from the tiny corpus's word postings
+    (terms mapped to stable int64 ids, the segment key type)."""
+    from pyspark.sql import functions as F
+
+    from flame_spark.segments import build_segments, postings_with_scores
+
+    _docs, postings, dl, stats_df, stats = tiny
+    idmap = F.create_map(
+        *[F.lit(x) for kv in sorted(TERM_IDS.items()) for x in kv]
+    )
+    p_long = postings.select(
+        idmap[F.col("term")].cast("long").alias("term"), "doc_id", "tf"
+    )
+    st_long = stats_df.select(
+        idmap[F.col("term")].cast("long").alias("term"), "df", "cf"
+    )
+    scored = postings_with_scores(
+        p_long.join(dl, "doc_id"), st_long, stats, 1.2, 0.75
+    )
+    seg = build_segments(scored, stats.n_docs, n_shards=2, block_size=2)
+    seg = seg.persist()
+    seg.count()
+    return seg
+
+
+def test_doc_lengths_from_segments_exact(spark, tiny, tiny_segments):
+    from flame_spark.wand import doc_lengths_from_segments
+
+    _d, _p, dl, _s, _st = tiny
+    got = {r["doc_id"]: r["dl"] for r in
+           doc_lengths_from_segments(tiny_segments).collect()}
+    exp = {r["doc_id"]: r["dl"] for r in dl.collect() if r["dl"] > 0}
+    # zero-length docs have no postings, hence no reconstructed row —
+    # every doc WITH postings reconstructs its exact length
+    assert got == exp
+
+
+def test_segment_dirichlet_equals_relational(spark, tiny, tiny_segments):
+    """The segment-served scorer must equal the relational
+    lm_dirichlet_topk over the same postings (same formula, same
+    candidates, scores to float tolerance — the fold orders differ
+    only in term key type)."""
+    from pyspark.sql import functions as F
+
+    from flame_spark.searchops import lm_dirichlet_topk
+    from flame_spark.wand import (
+        dirichlet_topk_segments, doc_lengths_from_segments,
+    )
+
+    _d, postings, dl, stats_df, _st = tiny
+    mu = 10.0
+    qrows = [("x", "alpha", 2), ("x", "beta", 1), ("y", "gamma", 1)]
+    rel = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in lm_dirichlet_topk(
+            qrows, postings, dl, stats_df, mu, 10
+        ).collect()
+    }
+    qterms = spark.createDataFrame(
+        [(q, TERM_IDS[t], c) for q, t, c in qrows],
+        "query_id string, term long, qtf int",
+    )
+    dl_df = doc_lengths_from_segments(tiny_segments)
+    seg = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 6)
+        for r in dirichlet_topk_segments(
+            qterms, tiny_segments, dl_df, mu, 10
+        ).collect()
+    }
+    assert set(seg) == set(rel)
+    for key in seg:
+        assert seg[key] == pytest.approx(rel[key], abs=1e-9)
+
+
+def test_segment_dirichlet_oov_and_empty_contract(spark, tiny, tiny_segments):
+    from flame_spark.wand import (
+        dirichlet_topk_segments, doc_lengths_from_segments,
+    )
+
+    qterms = spark.createDataFrame(
+        [("q", 999999, 1)], "query_id string, term long, qtf int"
+    )
+    dl_df = doc_lengths_from_segments(tiny_segments)
+    assert dirichlet_topk_segments(
+        qterms, tiny_segments, dl_df, 10.0, 5
+    ).count() == 0
+    empty_dl = dl_df.where("doc_id < 0")
+    with pytest.raises(ValueError, match="empty index"):
+        dirichlet_topk_segments(qterms, tiny_segments, empty_dl, 10.0, 5)
