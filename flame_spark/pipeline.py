@@ -433,6 +433,35 @@ def wand_bm25_serve_batch(
     )
 
 
+def dirichlet_topk_serve(
+    spark: SparkSession,
+    queries: list[dict],
+    index,
+    segments_sharded: DataFrame,
+    dl_df: DataFrame,
+    k: int = 10,
+    mu: float = 2000.0,
+    exclude_docs=None,
+) -> list[tuple]:
+    """Second-family serving: LM-Dirichlet top-k over the
+    shard-partitioned segment cache — the score is recomputed from the
+    stored tf streams (wand.dirichlet_topk_segments), so the SAME
+    cached index serves both ranking families. ``dl_df`` is the
+    (doc_id, dl) table reconstructed once per snapshot by
+    wand.doc_lengths_from_segments. All queries score in one
+    distributed job. Returns [(query_id, rank, doc_id, score), ...]."""
+    from .wand import dirichlet_topk_segments
+
+    qterms = query_terms_local(spark, queries, index)
+    out = dirichlet_topk_segments(
+        qterms, segments_sharded, dl_df, mu, k, exclude_docs
+    )
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in out.collect()
+    ]
+
+
 def pairwise_similarity(index: FlameIndex) -> DataFrame:
     """FLAME dist_mat parity: (doc_i, doc_j, score), i<j, nonzero.
 

@@ -90,6 +90,10 @@ class WarehouseServer:
         self._index = None
         self._tomb_sig: tuple | None = None
         self._exclude: np.ndarray | None = None
+        #: (doc_id, dl) reconstructed from the served snapshot's
+        #: segments, built lazily on the first Dirichlet query and
+        #: invalidated on snapshot swap
+        self._dl = None
 
     # -- state tracking -----------------------------------------------------
 
@@ -135,6 +139,9 @@ class WarehouseServer:
             sharded = segments_for_serving(segments, self.n_parts)
             if self._segments is not None:
                 self._segments.unpersist()
+            if self._dl is not None:
+                self._dl.unpersist()
+                self._dl = None
             self._segments = sharded
             self._index = SimpleNamespace(
                 cfg=self.idx.cfg,
@@ -221,6 +228,31 @@ class WarehouseServer:
             exclude_docs=self._exclude,
         )
 
+    def query_dirichlet(
+        self, queries: list[dict], k: int = 10, mu: float = 2000.0
+    ) -> list[tuple]:
+        """Second ranking family over the SAME served snapshot:
+        LM-Dirichlet recomputed from the cached segments' stored tf
+        streams (wand.dirichlet_topk_segments), minus tombstoned docs
+        — live-docs under stored stats, the same contract as the BM25
+        paths. The (doc_id, dl) table is reconstructed from the
+        snapshot's segments ONCE per swap (doc_lengths_from_segments)
+        and cached alongside the segment cache. All queries score in
+        one distributed job."""
+        self.refresh()
+        if self._dl is None:
+            from .wand import doc_lengths_from_segments
+
+            dl = doc_lengths_from_segments(self._segments).persist()
+            dl.count()
+            self._dl = dl
+        from .pipeline import dirichlet_topk_serve
+
+        return dirichlet_topk_serve(
+            self.spark, queries, self._index, self._segments, self._dl,
+            k=k, mu=mu, exclude_docs=self._exclude,
+        )
+
     def query_batch(self, queries: list[dict], k: int = 10) -> list[tuple]:
         """As ``query`` but ALL queries run in ONE Spark job over the
         segment cache (result-identical, tested) — the throughput path
@@ -236,3 +268,6 @@ class WarehouseServer:
             self._segments.unpersist()
             self._segments = None
             self._snap_id = None
+        if self._dl is not None:
+            self._dl.unpersist()
+            self._dl = None

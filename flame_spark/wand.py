@@ -725,6 +725,7 @@ def dirichlet_topk_segments(
     dl_df: DataFrame,
     mu: float,
     k: int,
+    exclude_docs=None,
 ) -> DataFrame:
     """Query-likelihood/Dirichlet top-k served from the SAME compressed
     segment table the BM25/WAND scorers use — one stored index, two
@@ -752,9 +753,18 @@ def dirichlet_topk_segments(
     so its whole contribution sum is computed inside one kernel call
     from term-sorted arrays — bit-stable across partitionings; the
     length normalizer is one addition after the fold.
+
+    ``exclude_docs``: tombstoned doc ids, suppressed inside the shard
+    kernel before any result leaves it — the same live-docs-under-
+    stored-stats contract as the WAND paths (cf/C/dl keep their stored
+    values until the next merge re-scores the survivors).
     """
     from .floatops import np_log
 
+    exclude_bc = None
+    excl_arr = _normalize_exclude(exclude_docs)
+    if excl_arr is not None:
+        exclude_bc = segments.sparkSession.sparkContext.broadcast(excl_arr)
     qseg = (
         segments.join(F.broadcast(qterms), "term", "inner")
         .select("query_id", "shard", "term", "qtf", "doc_deltas", "tfs")
@@ -803,12 +813,13 @@ def dirichlet_topk_segments(
         order = np.argsort(docs, kind="stable")
         docs, contribs = docs[order], contribs[order]
         starts = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+        out_docs = docs[starts]
+        out_s = np.add.reduceat(contribs, starts)
+        if exclude_bc is not None:
+            keep = ~np.isin(out_docs, exclude_bc.value)
+            out_docs, out_s = out_docs[keep], out_s[keep]
         return pd.DataFrame(
-            {
-                "query_id": query_id,
-                "doc_id": docs[starts],
-                "s": np.add.reduceat(contribs, starts),
-            }
+            {"query_id": query_id, "doc_id": out_docs, "s": out_s}
         )
 
     partial = (

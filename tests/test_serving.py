@@ -189,3 +189,56 @@ def test_ingest_serve_soak(spark, tmp_path):
     fresh.close()
     srv.close()
     full.unpersist()
+
+
+def test_server_dirichlet_family(spark, tmp_path):
+    """query_dirichlet serves the second ranking family from the same
+    snapshot cache: non-empty and consistent with the direct
+    segment-path scorer; a delete is excluded at the NEXT query with
+    the dl cache intact; a merge swaps the cached dl table."""
+    from flame_spark.pipeline import query_terms_local
+    from flame_spark.wand import dirichlet_topk_segments
+
+    full = transcripts_df(spark, 12, 5).persist()
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG, hash_base=2**32)
+    idx.initial_build(full)
+    idx.merge_segments(spark)
+    srv = WarehouseServer(idx, spark)
+
+    r1 = srv.query_dirichlet(Q, k=20, mu=500.0)
+    assert r1 and all(len(t) == 4 for t in r1)
+    # parity with the direct segment path over the served cache
+    qterms = query_terms_local(spark, Q, srv._index)
+    direct = dirichlet_topk_segments(
+        qterms, srv._segments, srv._dl, 500.0, 20
+    ).collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in direct] == r1
+    # BM25 and Dirichlet rank the same live docs (different orders
+    # allowed): candidate doc sets at full depth coincide
+    bm = srv.query(Q, k=20)
+    assert {d for _, _, d, _ in r1} == {d for _, _, d, _ in bm}
+
+    # delete the Dirichlet top doc: excluded at the next query, no
+    # merge needed, and the dl cache survives (same snapshot)
+    import os
+
+    dl_before = srv._dl
+    top_doc = next(d for _, rank, d, _ in r1 if rank == 1)
+    docmap = spark.read.parquet(os.path.join(idx.root, "docmap"))
+    conv = docmap.filter(F.col("doc_id") == top_doc).collect()[0]["conv_id"]
+    idx.delete_conversations(spark, [conv])
+    deleted = set(idx.deleted_doc_ids(spark).tolist())
+    r2 = srv.query_dirichlet(Q, k=20, mu=500.0)
+    assert not any(d in deleted for _, _, d, _ in r2)
+    assert srv._dl is dl_before
+
+    # merge -> snapshot swap -> dl cache rebuilt lazily
+    idx.merge_segments(spark)
+    r3 = srv.query_dirichlet(Q, k=20, mu=500.0)
+    assert srv._dl is not dl_before
+    assert not any(d in deleted for _, _, d, _ in r3)
+    assert {d for _, _, d, _ in r2} == {d for _, _, d, _ in r3}
+    srv.close()
+    assert srv._dl is None
+    full.unpersist()
