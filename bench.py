@@ -136,6 +136,9 @@ CURATION = [
     "text_curate_pipeline",
     "text_collocations",
     "text_keywords",
+    # winnowing (MOSS) fingerprints + shared-fp text-reuse pairs
+    "dedup_winnow_fps",
+    "dedup_winnow_pairs",
     "transcript_conv_docs",
     "transcript_conv_windows",
 ]

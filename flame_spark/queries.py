@@ -30,6 +30,7 @@ from .textops import (
     MINHASH_B_STEP,
     MINHASH_P,
     SIMHASH_BITS,
+    WINNOW_POS_CAP,
     norm_text_col,
     word_tokens_col,
     word_ngrams_col,
@@ -106,6 +107,11 @@ PRF_FB_K = 5
 PRF_M_TERMS = 3
 # per-doc keyword extraction width
 KEYWORDS_M = 5
+# winnowing (MOSS) fingerprints: char k-grams, window w, min-shared
+# cutoff for the text-reuse pair gate
+WINNOW_K = 7
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 40
 # hybrid lexical+dense retrieval: (query_id, text, query_vec_id) —
 # embeddings are keyed by vec_id aligned with doc_id; h2's text is
 # all-OOV so it degrades to dense-only (edge case)
@@ -3312,6 +3318,62 @@ FROM ranked WHERE rank <= {SEARCH_K}
 SQL_HYBRID_RRF = _sql_hybrid()
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    from .textops import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W)
+
+
+_WINNOW_FP_SQL = f"""nrm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, u.i::BIGINT AS pos, substring(t, u.i::INT, {WINNOW_K}) AS g
+  FROM nrm, UNNEST(range(1, greatest(length(t) - {WINNOW_K - 1}, 0) + 1)) AS u(i)
+),
+keys AS (
+  SELECT doc_id, pos,
+         ('0x' || substring(md5(g), 1, 8))::BIGINT * {WINNOW_POS_CAP}
+           + ({WINNOW_POS_CAP - 1} - pos) AS key
+  FROM grams
+),
+wins AS (
+  SELECT doc_id,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS mk,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS cnt
+  FROM keys
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         ({WINNOW_POS_CAP - 1} - (mk % {WINNOW_POS_CAP}))::BIGINT AS pos,
+         (mk // {WINNOW_POS_CAP})::BIGINT AS fp
+  FROM wins WHERE cnt = {WINNOW_W}
+)"""
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_WINNOW_FP_SQL}
+SELECT doc_id, pos, fp FROM fps
+"""
+
+
+def q_winnow_pairs(spark, sf_dir):
+    from .textops import winnow_pairs
+
+    return winnow_pairs(
+        _docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+    )
+
+
+SQL_WINNOW_PAIRS = f"""
+WITH {_WINNOW_FP_SQL},
+fpd AS (SELECT DISTINCT doc_id, fp FROM fps)
+SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*)::BIGINT AS shared
+FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 def q_collocations(spark, sf_dir):
     from .textops import collocations
 
@@ -3488,6 +3550,8 @@ QUERIES = {
     "dedup_minhash_sigs": q_minhash_sigs,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_simhash": q_simhash,
+    "dedup_winnow_fps": q_winnow_fingerprints,
+    "dedup_winnow_pairs": q_winnow_pairs,
     "dedup_embed_cosine_pairs": q_embed_cosine_pairs,
     "dedup_embed_lsh_pairs": q_embed_near_dup_lsh,
     "dedup_embed_groups": q_embed_dedup_groups,
@@ -3561,6 +3625,8 @@ ORACLE_SQL = {
     "dedup_minhash_sigs": SQL_MINHASH_SIGS,
     "dedup_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "dedup_simhash": SQL_SIMHASH,
+    "dedup_winnow_fps": SQL_WINNOW_FINGERPRINTS,
+    "dedup_winnow_pairs": SQL_WINNOW_PAIRS,
     "dedup_embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "dedup_embed_lsh_pairs": SQL_EMBED_NEAR_DUP_LSH,
     "dedup_embed_groups": SQL_EMBED_DEDUP_GROUPS,

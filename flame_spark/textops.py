@@ -754,3 +754,113 @@ def keywords_per_doc(
             F.col("df").cast("long").alias("df"),
         )
     )
+
+
+#: winnowing sort-key packing: fp hash < 2^32 rides the high bits,
+#: (cap-1 - pos) the low bits, so "min hash, rightmost position" is
+#: one integer MIN; caps document length at 2^20-1 chars (longer docs
+#: must be chunked upstream, e.g. convops.conversation_windows)
+WINNOW_POS_CAP = 1 << 20
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 7, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every char k-gram of the
+    normalized text, slide a length-``w`` window over the hash
+    sequence, and select each window's MINIMUM hash (rightmost
+    occurrence on ties — the classic winnowing rule), deduplicated.
+    Guarantee: any substring match of length >= w + k - 1 between two
+    documents yields at least one SHARED fingerprint, while only
+    ~2/(w+1) of all k-grams are kept.
+    -> distinct (doc_id, pos, fp); pos is the 1-based char position of
+    the selected k-gram, fp its 32-bit hash.
+
+    All JVM-side: one k-gram projection (no Python), md5-prefix hashes
+    (the cross-engine hash used by the MinHash family), and ONE
+    doc-partitioned sliding window over a packed (hash, rightmost-pos)
+    int64 key — min-per-window plus tie-break in a single MIN. Docs
+    longer than WINNOW_POS_CAP-1 chars raise (pack overflow); chunk
+    them upstream.
+    """
+    if k <= 0 or w <= 0:
+        raise ValueError("winnow_fingerprints: k and w must be positive")
+    cap = WINNOW_POS_CAP
+    d = docs.select("doc_id", norm_text_col(F.col(text_col)).alias("t"))
+    guard = F.when(
+        F.length("t") >= cap,
+        F.raise_error(
+            F.concat(
+                F.lit(f"winnow_fingerprints: doc longer than {cap - 1} "
+                      "chars (chunk upstream): doc_id "),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    ).otherwise(F.col("t"))
+    d = d.withColumn("t", guard)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN length(t) >= {k} THEN "
+                f"transform(sequence(1, length(t) - {k - 1}), "
+                f"i -> substring(t, i, {k})) ELSE array() END"
+            )
+        ).alias("off", "g"),
+    ).select(
+        "doc_id",
+        (F.col("off") + 1).cast("long").alias("pos"),
+        shingle_base_hash_col(F.col("g")).alias("x"),
+    )
+    key = F.col("x") * F.lit(cap) + (F.lit(cap - 1) - F.col("pos"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    wins = grams.select(
+        "doc_id",
+        F.min(key).over(win).alias("mk"),
+        F.count(F.lit(1)).over(win).alias("cnt"),
+    ).where(F.col("cnt") == w)
+    return wins.select(
+        "doc_id",
+        (F.lit(cap - 1) - F.col("mk") % F.lit(cap)).alias("pos"),
+        (F.col("mk") / F.lit(cap)).cast("long").alias("fp"),
+    ).distinct()
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 7,
+    w: int = 4,
+    min_shared: int = 40,
+    text_col: str = "text",
+    hot_df_threshold: int | None = None,
+    n_splits: int = 8,
+) -> DataFrame:
+    """Near-dup / text-reuse candidate pairs by shared winnowing
+    fingerprints: doc pairs sharing >= ``min_shared`` distinct
+    fingerprints, with the count. The skew story is the Jaccard one —
+    a hot fingerprint (boilerplate substring) is split across reducers
+    via the shared similarity.salted_self_join (exact pair set).
+    -> (doc_i, doc_j, shared).
+    """
+    from .similarity import auto_hot_df_threshold, salted_self_join
+
+    spark = docs.sparkSession
+    fps = (
+        winnow_fingerprints(docs, k, w, text_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .persist()
+    )
+    df_stats = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    if hot_df_threshold is None:
+        hot_df_threshold = auto_hot_df_threshold(
+            df_stats, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+    hot = df_stats.filter(F.col("df") > hot_df_threshold).select("fp")
+    return (
+        salted_self_join(fps.select("fp", "doc_id"), hot, "fp", n_splits)
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -59,6 +59,10 @@ SIMPLE_GATES = [
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_groups",
     "dedup_simhash",
+    # winnowing stresses substring/length/md5 code-point parity plus
+    # the packed-key window min on degenerate docs
+    "dedup_winnow_fps",
+    "dedup_winnow_pairs",
     "text_langid",
     "text_quality",
     "text_token_counts",

@@ -248,3 +248,99 @@ def test_collocations_no_bigrams_raises(spark):
     )
     with pytest.raises(ValueError, match="no bigrams"):
         collocations(docs)
+
+
+# ---------------------------------------------------------------------------
+# winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _brute_winnow(text, k, w):
+    """Independent winnowing replay: md5-prefix k-gram hashes, window
+    minimum with rightmost tie-break, distinct (pos, fp)."""
+    import hashlib
+    import re
+
+    t = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ")
+    grams = [t[i:i + k] for i in range(len(t) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    out = set()
+    for s in range(len(hs) - w + 1):
+        window = hs[s:s + w]
+        m = min(window)
+        # rightmost occurrence of the minimum
+        off = max(i for i, h in enumerate(window) if h == m)
+        out.add((s + off + 1, m))  # 1-based char position
+    return out
+
+
+def test_winnow_fingerprints_match_bruteforce(spark):
+    from flame_spark.textops import winnow_fingerprints
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my   box with\tfive dozen liquor jugs"),  # ws canon
+        (2, "aaaaaaaaaaaa"),       # identical k-grams -> tie-breaks
+        (3, "short"),              # shorter than k -> no grams
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=7, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for d, text in docs:
+        exp = _brute_winnow(text, 7, 4)
+        assert got.get(d, set()) == exp, d
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee: a shared substring of length >=
+    w + k - 1 must yield at least one shared fingerprint."""
+    from flame_spark.textops import winnow_fingerprints
+
+    shared = "formulaic diplomatic preamble"
+    docs = [(0, f"xxqq {shared} zzttuu"), (1, f"completely other {shared}")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k=7, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]
+
+
+def test_winnow_pairs_threshold_and_salting(spark):
+    from flame_spark.textops import winnow_fingerprints, winnow_pairs
+
+    docs = [
+        (0, "in nomine sancte et individue trinitatis amen feliciter"),
+        (1, "in nomine sancte et individue trinitatis amen feliciter"),
+        (2, "prorsus aliud documentum sine ulla re communi hic"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n_fp0 = (
+        winnow_fingerprints(df, k=7, w=4)
+        .where("doc_id = 0").select("fp").distinct().count()
+    )
+    # identical docs share ALL fingerprints; unrelated doc none
+    pairs = {
+        (r["doc_i"], r["doc_j"]): r["shared"]
+        for r in winnow_pairs(df, k=7, w=4, min_shared=2).collect()
+    }
+    assert pairs == {(0, 1): n_fp0}
+    # forcing every fingerprint hot must not change the pair set
+    salted = {
+        (r["doc_i"], r["doc_j"]): r["shared"]
+        for r in winnow_pairs(
+            df, k=7, w=4, min_shared=2, hot_df_threshold=0
+        ).collect()
+    }
+    assert salted == pairs
+
+
+def test_winnow_long_doc_raises(spark):
+    from flame_spark.textops import WINNOW_POS_CAP, winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "x" * WINNOW_POS_CAP)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="chunk upstream"):
+        winnow_fingerprints(df, k=7, w=4).count()

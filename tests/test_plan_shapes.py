@@ -36,6 +36,7 @@ def test_no_cartesian_or_nested_loop_anywhere_hot(spark, queries):
         "dedup_embed_cosine_pairs",
         "dedup_embed_lsh_pairs",
         "j6_bm25_topk",
+        "dedup_winnow_pairs",
     ]:
         plan = _plan(queries[name](spark, SF))
         assert "CartesianProduct" not in plan, name
