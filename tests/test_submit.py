@@ -36,7 +36,7 @@ def _zip_package(dest: str) -> str:
 
 
 def _run(zpath, src, wh, queries, fmt=None, expect_rc=0, curate=False,
-         unit=None):
+         unit=None, ranker=None):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip must be the ONLY package source
     env["PYSPARK_PYTHON"] = sys.executable
@@ -45,6 +45,8 @@ def _run(zpath, src, wh, queries, fmt=None, expect_rc=0, curate=False,
         fmt_args.append("--curate")
     if unit:
         fmt_args.append(f"--unit={unit}")
+    if ranker:
+        fmt_args.append(f"--ranker={ranker}")
     r = subprocess.run(
         [
             _spark_submit(), "--master", "local[4]",
@@ -93,6 +95,34 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     out2 = _run(zpath, src, wh, queries)
     assert out2[0]["snapshot"] == build["snapshot"]
     assert out2[1:] == results
+
+
+def test_spark_submit_dirichlet_ranker(spark, tmp_path):
+    """--ranker=dirichlet serves the second family from the same
+    warehouse through the packaged entry: same snapshot (idempotent
+    no-op commit), well-formed ranked rows tagged with the ranker."""
+    from flame_spark.data import transcripts_df
+
+    src = str(tmp_path / "transcripts")
+    transcripts_df(spark, 16, 6).write.parquet(src)
+    zpath = _zip_package(str(tmp_path))
+    wh = str(tmp_path / "wh")
+    queries = [
+        {"query_id": "q0",
+         "query_text": "in nomine sancte et individue trinitatis amen"},
+    ]
+    out_bm = _run(zpath, src, wh, queries)
+    out_di = _run(zpath, src, wh, queries, ranker="dirichlet")
+    assert out_di[0]["snapshot"] == out_bm[0]["snapshot"]
+    res = out_di[1:]
+    assert res and all(r["ranker"] == "dirichlet" for r in res)
+    ranks = [r["rank"] for r in res if r["query_id"] == "q0"]
+    assert ranks == list(range(1, len(ranks) + 1))
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    # different ranking family, same candidate universe: every served
+    # doc must also be a doc the BM25 path could see (valid ids)
+    assert all(0 <= r["doc_id"] < out_di[0]["n_docs"] for r in res)
 
 
 def test_spark_submit_jsonl_format(spark, tmp_path):

@@ -3,7 +3,7 @@
     zip -r /tmp/flame_spark.zip flame_spark
     spark-submit --master local[8] --py-files /tmp/flame_spark.zip \\
         tools/submit_job.py [--format=parquet|orc|jsonl|csv] \\
-        [--unit=turn|conv] [--curate] \\
+        [--unit=turn|conv] [--curate] [--ranker=bm25|dirichlet] \\
         <transcripts_path> <warehouse_dir> [n_shards] [queries_json]
 
 ``--format`` routes the source through sources.read_transcripts, so an
@@ -17,6 +17,13 @@ assembles one document per conversation (convops.conversation_docs:
 stable turn_idx order, ``role: text`` lines) and indexes those
 (doc_id = rank over conv_id) — retrieval then returns whole
 conversations instead of single turns.
+
+``--ranker`` picks the serving score for the queries_json answers:
+``bm25`` (default) is the block-max-WAND batch path over the stored
+per-posting scores; ``dirichlet`` serves the query-likelihood family
+from the SAME warehouse snapshot, recomputing from the stored tf
+streams (wand.dirichlet_topk_segments; the (doc_id, dl) table is
+reconstructed from the segments once).
 
 ``--curate`` runs the training-set curation composition
 (textops.curate_docs: PII redaction -> repetition filter -> exact
@@ -44,10 +51,14 @@ from pyspark.sql import SparkSession, functions as F
 
 
 def main(argv: list[str]) -> int:
-    fmt, curate, unit = "parquet", False, "turn"
+    fmt, curate, unit, ranker = "parquet", False, "turn", "bm25"
     while argv and argv[0].startswith("--"):
         if argv[0].startswith("--format="):
             fmt = argv[0].split("=", 1)[1]
+        elif argv[0].startswith("--ranker="):
+            ranker = argv[0].split("=", 1)[1]
+            if ranker not in ("bm25", "dirichlet"):
+                raise SystemExit(f"unknown --ranker: {ranker}")
         elif argv[0] == "--curate":
             curate = True
         elif argv[0].startswith("--unit="):
@@ -126,11 +137,23 @@ def main(argv: list[str]) -> int:
         )
         sharded = segments_for_serving(segs, n_shards)
         sharded.count()
-        # batch path: the whole query set in one job (tuple-identical
-        # to per-query serve, tested)
-        for row in wand_bm25_serve_batch(queries, serving, sharded, k=10):
+        if ranker == "dirichlet":
+            from flame_spark.pipeline import dirichlet_topk_serve
+            from flame_spark.wand import doc_lengths_from_segments
+
+            dl_df = doc_lengths_from_segments(sharded).persist()
+            dl_df.count()
+            rows = dirichlet_topk_serve(
+                spark, queries, serving, sharded, dl_df, k=10
+            )
+        else:
+            # batch path: the whole query set in one job
+            # (tuple-identical to per-query serve, tested)
+            rows = wand_bm25_serve_batch(queries, serving, sharded, k=10)
+        for row in rows:
             print(json.dumps({"query_id": row[0], "rank": row[1],
-                              "doc_id": row[2], "score": row[3]}))
+                              "doc_id": row[2], "score": row[3],
+                              "ranker": ranker}))
     spark.stop()
     return 0
 
