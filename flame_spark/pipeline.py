@@ -442,6 +442,7 @@ def dirichlet_topk_serve(
     k: int = 10,
     mu: float = 2000.0,
     exclude_docs=None,
+    c_total: float | None = None,
 ) -> list[tuple]:
     """Second-family serving: LM-Dirichlet top-k over the
     shard-partitioned segment cache — the score is recomputed from the
@@ -454,7 +455,7 @@ def dirichlet_topk_serve(
 
     qterms = query_terms_local(spark, queries, index)
     out = dirichlet_topk_segments(
-        qterms, segments_sharded, dl_df, mu, k, exclude_docs
+        qterms, segments_sharded, dl_df, mu, k, exclude_docs, c_total
     )
     return [
         (r["query_id"], r["rank"], r["doc_id"], r["score"])

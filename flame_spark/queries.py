@@ -149,17 +149,21 @@ def _qtoks(text: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
 
 
-def _bm25_qrows() -> list[tuple]:
-    """BM25_QUERIES as (query_id, term, qtf) rows — the one place the
-    query-term counting loop lives (engine gates and SQL oracles must
-    agree on it by construction)."""
+def _qrows(queries: list[tuple]) -> list[tuple]:
+    """(query_id, text) pairs -> (query_id, term, qtf) rows — the one
+    place the query-term counting loop lives (engine gates and SQL
+    oracles must agree on it by construction)."""
     rows = []
-    for qid, qtext in BM25_QUERIES:
+    for qid, qtext in queries:
         counts: dict[str, int] = {}
         for t in _qtoks(qtext):
             counts[t] = counts.get(t, 0) + 1
         rows.extend((qid, t, c) for t, c in counts.items())
     return rows
+
+
+def _bm25_qrows() -> list[tuple]:
+    return _qrows(BM25_QUERIES)
 
 
 # session-scoped memo: the driver runs every registry query in ONE
@@ -3229,13 +3233,7 @@ FROM ranked WHERE rank <= {KEYWORDS_M}
 
 
 def _hybrid_qrows() -> list[tuple]:
-    rows = []
-    for qid, qtext, _v in HYBRID_QUERIES:
-        counts: dict[str, int] = {}
-        for t in _qtoks(qtext):
-            counts[t] = counts.get(t, 0) + 1
-        rows.extend((qid, t, c) for t, c in counts.items())
-    return rows
+    return _qrows([(qid, qtext) for qid, qtext, _v in HYBRID_QUERIES])
 
 
 def q_hybrid_rrf(spark, sf_dir):

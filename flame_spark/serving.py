@@ -92,8 +92,9 @@ class WarehouseServer:
         self._exclude: np.ndarray | None = None
         #: (doc_id, dl) reconstructed from the served snapshot's
         #: segments, built lazily on the first Dirichlet query and
-        #: invalidated on snapshot swap
+        #: invalidated on snapshot swap; _c is its token-count total
         self._dl = None
+        self._c: float | None = None
 
     # -- state tracking -----------------------------------------------------
 
@@ -142,6 +143,7 @@ class WarehouseServer:
             if self._dl is not None:
                 self._dl.unpersist()
                 self._dl = None
+                self._c = None
             self._segments = sharded
             self._index = SimpleNamespace(
                 cfg=self.idx.cfg,
@@ -241,16 +243,18 @@ class WarehouseServer:
         one distributed job."""
         self.refresh()
         if self._dl is None:
+            from pyspark.sql import functions as F
+
             from .wand import doc_lengths_from_segments
 
             dl = doc_lengths_from_segments(self._segments).persist()
-            dl.count()
+            self._c = float(dl.agg(F.sum("dl")).collect()[0][0] or 0.0)
             self._dl = dl
         from .pipeline import dirichlet_topk_serve
 
         return dirichlet_topk_serve(
             self.spark, queries, self._index, self._segments, self._dl,
-            k=k, mu=mu, exclude_docs=self._exclude,
+            k=k, mu=mu, exclude_docs=self._exclude, c_total=self._c,
         )
 
     def query_batch(self, queries: list[dict], k: int = 10) -> list[tuple]:

@@ -726,6 +726,7 @@ def dirichlet_topk_segments(
     mu: float,
     k: int,
     exclude_docs=None,
+    c_total: float | None = None,
 ) -> DataFrame:
     """Query-likelihood/Dirichlet top-k served from the SAME compressed
     segment table the BM25/WAND scorers use — one stored index, two
@@ -758,6 +759,9 @@ def dirichlet_topk_segments(
     kernel before any result leaves it — the same live-docs-under-
     stored-stats contract as the WAND paths (cf/C/dl keep their stored
     values until the next merge re-scores the survivors).
+    ``c_total``: the collection token count, if the caller already
+    holds it (it is constant per snapshot — WarehouseServer caches it
+    next to the dl table); None computes it from ``dl_df``.
     """
     from .floatops import np_log
 
@@ -765,10 +769,8 @@ def dirichlet_topk_segments(
     excl_arr = _normalize_exclude(exclude_docs)
     if excl_arr is not None:
         exclude_bc = segments.sparkSession.sparkContext.broadcast(excl_arr)
-    qseg = (
-        segments.join(F.broadcast(qterms), "term", "inner")
-        .select("query_id", "shard", "term", "qtf", "doc_deltas", "tfs")
-        .persist()
+    qseg = segments.join(F.broadcast(qterms), "term", "inner").select(
+        "query_id", "shard", "term", "qtf", "doc_deltas", "tfs"
     )
 
     @F.pandas_udf("long")
@@ -778,12 +780,18 @@ def dirichlet_topk_segments(
             dtype="int64",
         )
 
+    # cf from the DISTINCT query terms' segment rows — joining through
+    # qseg would count a term's rows once per query sharing it and
+    # inflate cf for multi-query batches with overlapping terms
+    uterms = qterms.select("term").distinct()
     cf_df = (
-        qseg.select("term", row_tf_sum(F.col("tfs")).alias("rtf"))
+        segments.join(F.broadcast(uterms), "term", "inner")
+        .select("term", row_tf_sum(F.col("tfs")).alias("rtf"))
         .groupBy("term")
         .agg(F.sum("rtf").alias("cf"))
     )
-    c_total = float(dl_df.agg(F.sum("dl")).collect()[0][0] or 0.0)
+    if c_total is None:
+        c_total = float(dl_df.agg(F.sum("dl")).collect()[0][0] or 0.0)
     if c_total <= 0.0:
         raise ValueError("dirichlet_topk_segments: empty index (C = 0)")
 

@@ -521,3 +521,37 @@ def test_segment_dirichlet_oov_and_empty_contract(spark, tiny, tiny_segments):
     empty_dl = dl_df.where("doc_id < 0")
     with pytest.raises(ValueError, match="empty index"):
         dirichlet_topk_segments(qterms, tiny_segments, empty_dl, 10.0, 5)
+
+
+def test_segment_dirichlet_batch_equals_singletons(spark, tiny, tiny_segments):
+    """Regression: a multi-query batch whose queries SHARE a term must
+    score each query exactly as if it ran alone — cf comes from the
+    distinct query terms' segment rows, not the per-query joined rows
+    (which would count a shared term once per query and inflate cf)."""
+    from flame_spark.wand import (
+        dirichlet_topk_segments, doc_lengths_from_segments,
+    )
+
+    mu = 10.0
+    dl_df = doc_lengths_from_segments(tiny_segments)
+    batch_rows = [
+        ("x", TERM_IDS["alpha"], 1), ("x", TERM_IDS["beta"], 1),
+        ("y", TERM_IDS["alpha"], 2), ("y", TERM_IDS["gamma"], 1),
+    ]
+
+    def run(rows):
+        q = spark.createDataFrame(
+            rows, "query_id string, term long, qtf int"
+        )
+        return {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in dirichlet_topk_segments(
+                q, tiny_segments, dl_df, mu, 10
+            ).collect()
+        }
+
+    batch = run(batch_rows)
+    solo = {}
+    for qid in ("x", "y"):
+        solo.update(run([r for r in batch_rows if r[0] == qid]))
+    assert batch == solo

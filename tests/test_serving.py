@@ -205,18 +205,18 @@ def test_server_dirichlet_family(spark, tmp_path):
     idx.merge_segments(spark)
     srv = WarehouseServer(idx, spark)
 
-    r1 = srv.query_dirichlet(Q, k=20, mu=500.0)
+    r1 = srv.query_dirichlet(Q, k=200, mu=500.0)
     assert r1 and all(len(t) == 4 for t in r1)
     # parity with the direct segment path over the served cache
     qterms = query_terms_local(spark, Q, srv._index)
     direct = dirichlet_topk_segments(
-        qterms, srv._segments, srv._dl, 500.0, 20
+        qterms, srv._segments, srv._dl, 500.0, 200
     ).collect()
     assert [(r["query_id"], r["rank"], r["doc_id"], r["score"])
             for r in direct] == r1
     # BM25 and Dirichlet rank the same live docs (different orders
     # allowed): candidate doc sets at full depth coincide
-    bm = srv.query(Q, k=20)
+    bm = srv.query(Q, k=200)
     assert {d for _, _, d, _ in r1} == {d for _, _, d, _ in bm}
 
     # delete the Dirichlet top doc: excluded at the next query, no
@@ -229,13 +229,13 @@ def test_server_dirichlet_family(spark, tmp_path):
     conv = docmap.filter(F.col("doc_id") == top_doc).collect()[0]["conv_id"]
     idx.delete_conversations(spark, [conv])
     deleted = set(idx.deleted_doc_ids(spark).tolist())
-    r2 = srv.query_dirichlet(Q, k=20, mu=500.0)
+    r2 = srv.query_dirichlet(Q, k=200, mu=500.0)
     assert not any(d in deleted for _, _, d, _ in r2)
     assert srv._dl is dl_before
 
     # merge -> snapshot swap -> dl cache rebuilt lazily
     idx.merge_segments(spark)
-    r3 = srv.query_dirichlet(Q, k=20, mu=500.0)
+    r3 = srv.query_dirichlet(Q, k=200, mu=500.0)
     assert srv._dl is not dl_before
     assert not any(d in deleted for _, _, d, _ in r3)
     assert {d for _, _, d, _ in r2} == {d for _, _, d, _ in r3}
