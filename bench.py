@@ -169,6 +169,8 @@ SEARCH = [
     # hybrid lexical+dense RRF: word index + one dense sweep over the
     # embeddings table
     "search_hybrid_rrf",
+    # reverse search: stored-query registry matched against every doc
+    "search_percolate",
     # index-layer boolean: shares the memoized LNO segment index with
     # the headline WAND gates (charged to whichever builds it first)
     "wand_boolean_lno",

@@ -107,6 +107,15 @@ PRF_FB_K = 5
 PRF_M_TERMS = 3
 # per-doc keyword extraction width
 KEYWORDS_M = 5
+# percolator (reverse search): stored boolean queries matched against
+# every document; pc3's must term is OOV -> zero matches (edge case)
+PERC_QUERIES = [
+    {"query_id": "pc0", "must": ["table", "scan"], "must_not": ["vector"]},
+    {"query_id": "pc1", "should": ["window", "filter", "stream"],
+     "min_should": 2},
+    {"query_id": "pc2", "must": ["merge"], "should": ["join", "sort"]},
+    {"query_id": "pc3", "must": ["zzzmissing"]},
+]
 # winnowing (MOSS) fingerprints: char k-grams, window w, min-shared
 # cutoff for the text-reuse pair gate
 WINNOW_K = 7
@@ -3316,6 +3325,55 @@ FROM ranked WHERE rank <= {SEARCH_K}
 SQL_HYBRID_RRF = _sql_hybrid()
 
 
+def q_percolate(spark, sf_dir):
+    from .searchops import percolate
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "tokens", word_tokens_col(F.col("text"))
+    )
+    return percolate(PERC_QUERIES, docs.select("doc_id", "tokens"))
+
+
+def _sql_percolate():
+    rows = []
+    for q in PERC_QUERIES:
+        qid = q["query_id"]
+        must = list(q.get("must") or [])
+        should = list(q.get("should") or [])
+        must_not = list(q.get("must_not") or [])
+        ms = q.get("min_should")
+        if ms is None:
+            ms = 1 if not must else 0
+        for clause, terms in (("must", must), ("should", should),
+                              ("must_not", must_not)):
+            rows.extend(
+                f"('{qid}', '{t}', '{clause}', {len(must)}, {int(ms)})"
+                for t in terms
+            )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+dt AS (SELECT DISTINCT doc_id, term
+       FROM (SELECT doc_id, unnest(tk) AS term FROM toks)),
+q(query_id, term, clause, n_must, min_should) AS (VALUES
+    {values}),
+a AS (
+  SELECT q.query_id, dt.doc_id,
+         count(CASE WHEN q.clause = 'must' THEN 1 END) AS mh,
+         count(CASE WHEN q.clause = 'should' THEN 1 END) AS sh,
+         count(CASE WHEN q.clause = 'must_not' THEN 1 END) AS ng,
+         any_value(q.n_must) AS n_must,
+         any_value(q.min_should) AS min_should
+  FROM dt JOIN q USING (term) GROUP BY 1, 2
+)
+SELECT query_id, doc_id FROM a
+WHERE mh = n_must AND sh >= min_should AND ng = 0
+"""
+
+
+SQL_PERCOLATE = _sql_percolate()
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from .textops import winnow_fingerprints
 
@@ -3579,6 +3637,7 @@ QUERIES = {
     "search_near_topk": q_near_topk,
     "search_prf_topk": q_prf_topk,
     "search_hybrid_rrf": q_hybrid_rrf,
+    "search_percolate": q_percolate,
     "text_keywords": q_text_keywords,
     "text_collocations": q_collocations,
     "index_audit_stats": q_index_audit,
@@ -3654,6 +3713,7 @@ ORACLE_SQL = {
     "search_near_topk": SQL_NEAR_TOPK,
     "search_prf_topk": SQL_PRF_TOPK,
     "search_hybrid_rrf": SQL_HYBRID_RRF,
+    "search_percolate": SQL_PERCOLATE,
     "text_keywords": SQL_TEXT_KEYWORDS,
     "text_collocations": SQL_COLLOCATIONS,
     "index_audit_stats": SQL_INDEX_AUDIT,

@@ -945,3 +945,80 @@ def hybrid_rrf_topk(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def percolate(pqueries: list[dict], docs_tokens: DataFrame) -> DataFrame:
+    """Reverse search (the Elasticsearch percolator): match every
+    document against a registry of STORED boolean queries — the
+    routing/alerting primitive of a transcript pipeline (route
+    conversations to reviewers, trigger on policy terms, tag topics).
+
+    pqueries: [{"query_id", "must": [terms], "should": [terms],
+    "must_not": [terms], "min_should": int}]. A doc matches a query
+    iff it contains EVERY must term, at least ``min_should`` of the
+    should terms, and NO must_not term. ``min_should`` defaults to 1
+    when the query has no must terms (the Lucene/ES convention — some
+    positive evidence is always required), else 0. A term may appear
+    in only one clause per query; a query with no positive (must or
+    should) term is refused — matching it would mean scanning docs
+    that share NO term with it, which no inverted index can enumerate.
+    -> (query_id, doc_id), one row per match.
+
+    Scale shape: the stored-query registry is inverted into a tiny
+    (term -> query, clause) table and BROADCAST; the corpus-sized work
+    is one distinct-token explode joined against it and ONE
+    (query_id, doc_id) aggregate counting must/should/must_not hits
+    together (the boolean_topk shape reversed) — per-doc cost is
+    proportional to its distinct terms that appear in ANY stored
+    query, never to the registry size.
+    """
+    spark = docs_tokens.sparkSession
+    rows = []
+    for q in pqueries:
+        qid = q["query_id"]
+        must = list(q.get("must") or [])
+        should = list(q.get("should") or [])
+        must_not = list(q.get("must_not") or [])
+        if not must and not should:
+            raise ValueError(f"percolate: query {qid!r} has no positive term")
+        seen: dict = {}
+        for clause, terms in (("must", must), ("should", should),
+                              ("must_not", must_not)):
+            for t in terms:
+                if t in seen:
+                    raise ValueError(
+                        f"percolate: term {t!r} in both {seen[t]!r} and "
+                        f"{clause!r} of query {qid!r}"
+                    )
+                seen[t] = clause
+        min_should = q.get("min_should")
+        if min_should is None:
+            min_should = 1 if not must else 0
+        rows.extend(
+            (qid, t, c, len(must), int(min_should))
+            for t, c in seen.items()
+        )
+    qdf = spark.createDataFrame(
+        rows,
+        "query_id string, term string, clause string, n_must int, "
+        "min_should int",
+    )
+    toks = docs_tokens.select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+    agg = (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.when(F.col("clause") == "must", 1)).alias("mh"),
+            F.count(F.when(F.col("clause") == "should", 1)).alias("sh"),
+            F.count(F.when(F.col("clause") == "must_not", 1)).alias("ng"),
+            F.first("n_must").alias("n_must"),
+            F.first("min_should").alias("min_should"),
+        )
+    )
+    return agg.where(
+        (F.col("mh") == F.col("n_must"))
+        & (F.col("sh") >= F.col("min_should"))
+        & (F.col("ng") == 0)
+    ).select("query_id", "doc_id")

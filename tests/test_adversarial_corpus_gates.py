@@ -104,6 +104,8 @@ SIMPLE_GATES = [
     "search_near_topk",
     "search_prf_topk",
     "text_keywords",
+    # percolator: reverse boolean matching over distinct-token sets
+    "search_percolate",
 ]
 FULL_PIPELINE_GATES = [
     "wand_topk_lno",

@@ -555,3 +555,48 @@ def test_segment_dirichlet_batch_equals_singletons(spark, tiny, tiny_segments):
     for qid in ("x", "y"):
         solo.update(run([r for r in batch_rows if r[0] == qid]))
     assert batch == solo
+
+
+# ---------------------------------------------------------------------------
+# percolator
+# ---------------------------------------------------------------------------
+
+
+def test_percolate_clause_semantics(spark, tiny):
+    from flame_spark.searchops import percolate
+
+    docs, *_ = tiny
+    toks = docs.select("doc_id", "tokens")
+    out = percolate(
+        [
+            # both alpha and beta: docs 0, 2
+            {"query_id": "m", "must": ["alpha", "beta"]},
+            # alpha but not beta: doc 1
+            {"query_id": "mn", "must": ["alpha"], "must_not": ["beta"]},
+            # >= 2 of {alpha, beta, gamma}: docs 0, 2
+            {"query_id": "s", "should": ["alpha", "beta", "gamma"],
+             "min_should": 2},
+            # no-must should defaults to min_should=1: delta docs
+            {"query_id": "d", "should": ["delta"]},
+            # OOV must -> no matches
+            {"query_id": "z", "must": ["zzzmissing"]},
+        ],
+        toks,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_q == {"m": {0, 2}, "mn": {1}, "s": {0, 2}, "d": {3}}
+
+
+def test_percolate_contract_errors(spark, tiny):
+    from flame_spark.searchops import percolate
+
+    docs, *_ = tiny
+    toks = docs.select("doc_id", "tokens")
+    with pytest.raises(ValueError, match="no positive term"):
+        percolate([{"query_id": "q", "must_not": ["alpha"]}], toks)
+    with pytest.raises(ValueError, match="in both"):
+        percolate(
+            [{"query_id": "q", "must": ["alpha"], "should": ["alpha"]}], toks
+        )
