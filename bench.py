@@ -171,6 +171,8 @@ SEARCH = [
     "search_hybrid_rrf",
     # reverse search: stored-query registry matched against every doc
     "search_percolate",
+    # per-term scoring breakdown for the BM25 top-k
+    "search_explain",
     # index-layer boolean: shares the memoized LNO segment index with
     # the headline WAND gates (charged to whichever builds it first)
     "wand_boolean_lno",

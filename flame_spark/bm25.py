@@ -42,7 +42,7 @@ def _det_sum(col_struct_term, col_val):
     )
 
 
-def score_bm25(
+def contributions(
     qterms: DataFrame,
     postings_with_dl: DataFrame,
     term_stats_df: DataFrame,
@@ -50,7 +50,10 @@ def score_bm25(
     k1: float,
     b: float,
 ) -> DataFrame:
-    """-> (query_id, doc_id, score). qterms is small (broadcast side)."""
+    """Per-(query, doc, term) contribution rows — the pre-aggregation
+    stage of ``score_bm25`` (ONE formula definition) and the payload of
+    the explain surface: (query_id, doc_id, t, tf, df, dl, idf, val)
+    with val = qtf * (idf * tf_comp). qterms is small (broadcast)."""
     n, avgdl = float(stats.n_docs), float(stats.avgdl)
     q = F.broadcast(qterms)
     from .floatops import np_log
@@ -60,7 +63,9 @@ def score_bm25(
         np_log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
     )
     joined = postings_with_dl.join(
-        F.broadcast(q_with_idf.select("query_id", "term", "qtf", "idf")),
+        F.broadcast(
+            q_with_idf.select("query_id", "term", "qtf", "df", "idf")
+        ),
         "term",
         "inner",
     )
@@ -72,12 +77,30 @@ def score_bm25(
     # segment/WAND path precomputes s = idf*tf_comp at build time and
     # multiplies by qtf at query time — same float ops, bit-identical.
     contrib = F.col("qtf") * (F.col("idf") * tf_comp)
-    scored = joined.select(
+    return joined.select(
         "query_id",
         "doc_id",
         F.col("term").alias("t"),
+        "tf",
+        "df",
+        "dl",
+        "idf",
         contrib.alias("val"),
     )
+
+
+def score_bm25(
+    qterms: DataFrame,
+    postings_with_dl: DataFrame,
+    term_stats_df: DataFrame,
+    stats: CorpusStats,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """-> (query_id, doc_id, score). qterms is small (broadcast side)."""
+    scored = contributions(
+        qterms, postings_with_dl, term_stats_df, stats, k1, b
+    ).select("query_id", "doc_id", "t", "val")
     return scored.groupBy("query_id", "doc_id").agg(
         _det_sum(F.col("t").alias("t"), F.col("val").alias("val")).alias("score")
     )

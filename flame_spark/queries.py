@@ -3325,6 +3325,57 @@ FROM ranked WHERE rank <= {SEARCH_K}
 SQL_HYBRID_RRF = _sql_hybrid()
 
 
+EXPLAIN_K = 3
+
+
+def q_explain_topk(spark, sf_dir):
+    from .searchops import explain_topk
+
+    postings, dl, stats_df, stats = _word_index(spark, sf_dir)
+    return explain_topk(
+        _bm25_qrows(), postings, dl, stats_df, stats, BM25_K1, BM25_B,
+        EXPLAIN_K,
+    )
+
+
+def _sql_explain():
+    values = ",\n    ".join(
+        f"('{qid}', '{t}', {c})" for qid, t, c in _bm25_qrows()
+    )
+    return f"""
+WITH {_BM25_PROLOG},
+q(query_id, term, qtf) AS (VALUES
+    {values}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, q.term, tf.tf, df.df,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf,
+         q.qtf * (ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+top AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scores
+  ) WHERE rank <= {EXPLAIN_K}
+)
+SELECT c.query_id, top.rank::BIGINT AS rank, c.doc_id, c.term,
+       c.tf::BIGINT AS tf, c.df::BIGINT AS df,
+       round(c.idf, 6) AS idf, round(c.c, 6) AS contrib
+FROM contrib c JOIN top USING (query_id, doc_id)
+"""
+
+
+SQL_EXPLAIN_TOPK = _sql_explain()
+
+
 def q_percolate(spark, sf_dir):
     from .searchops import percolate
 
@@ -3638,6 +3689,7 @@ QUERIES = {
     "search_prf_topk": q_prf_topk,
     "search_hybrid_rrf": q_hybrid_rrf,
     "search_percolate": q_percolate,
+    "search_explain": q_explain_topk,
     "text_keywords": q_text_keywords,
     "text_collocations": q_collocations,
     "index_audit_stats": q_index_audit,
@@ -3714,6 +3766,7 @@ ORACLE_SQL = {
     "search_prf_topk": SQL_PRF_TOPK,
     "search_hybrid_rrf": SQL_HYBRID_RRF,
     "search_percolate": SQL_PERCOLATE,
+    "search_explain": SQL_EXPLAIN_TOPK,
     "text_keywords": SQL_TEXT_KEYWORDS,
     "text_collocations": SQL_COLLOCATIONS,
     "index_audit_stats": SQL_INDEX_AUDIT,

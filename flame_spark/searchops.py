@@ -1022,3 +1022,53 @@ def percolate(pqueries: list[dict], docs_tokens: DataFrame) -> DataFrame:
         & (F.col("sh") >= F.col("min_should"))
         & (F.col("ng") == 0)
     ).select("query_id", "doc_id")
+
+
+def explain_topk(
+    qterms_rows: list[tuple],
+    postings: DataFrame,
+    dl: DataFrame,
+    stats_df: DataFrame,
+    stats: CorpusStats,
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """Scoring explain (the Lucene ``Explanation`` analog): for each
+    query's top-k documents, the per-term score breakdown — tf, df,
+    idf and the exact contribution qtf * (idf * tf_comp) that entered
+    the deterministic fold. The breakdown rows come from the SAME
+    ``bm25.contributions`` stage ``score_bm25`` aggregates (one
+    formula definition), so summing ``contrib`` per (query, doc)
+    reproduces the served score bit-for-bit.
+    -> (query_id, rank, doc_id, term, tf, df, idf, contrib), idf and
+    contrib at 6 dp.
+
+    Scale shape: ranking is the normal one-shuffle BM25; the breakdown
+    join is the q x k top table broadcast back into the contribution
+    rows — explain costs one extra broadcast join, never a second
+    corpus pass beyond the contribution recomputation.
+    """
+    from .bm25 import contributions, score_bm25, topk
+
+    spark = postings.sparkSession
+    qterms = spark.createDataFrame(
+        qterms_rows, "query_id string, term string, qtf int"
+    )
+    pdl = postings.join(dl, "doc_id")
+    top = topk(
+        score_bm25(qterms, pdl, stats_df, stats, k1, b), k
+    ).select("query_id", "rank", "doc_id")
+    rows = contributions(qterms, pdl, stats_df, stats, k1, b).join(
+        F.broadcast(top), ["query_id", "doc_id"]
+    )
+    return rows.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("t").alias("term"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("idf", 6).alias("idf"),
+        F.round("val", 6).alias("contrib"),
+    )

@@ -106,6 +106,9 @@ SIMPLE_GATES = [
     "text_keywords",
     # percolator: reverse boolean matching over distinct-token sets
     "search_percolate",
+    # explain: the per-term breakdown must re-sum to the served score
+    # on hostile corpora too
+    "search_explain",
 ]
 FULL_PIPELINE_GATES = [
     "wand_topk_lno",

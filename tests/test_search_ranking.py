@@ -600,3 +600,46 @@ def test_percolate_contract_errors(spark, tiny):
         percolate(
             [{"query_id": "q", "must": ["alpha"], "should": ["alpha"]}], toks
         )
+
+
+# ---------------------------------------------------------------------------
+# explain
+# ---------------------------------------------------------------------------
+
+
+def test_explain_contributions_sum_to_served_score(spark, tiny):
+    """The explain rows come from the same contributions stage
+    score_bm25 folds — summing contrib per (query, doc) reproduces the
+    top-k score to rounding, and tf/df match the corpus facts."""
+    from flame_spark.constants import BM25_B, BM25_K1
+    from flame_spark.bm25 import score_bm25, topk
+    from flame_spark.searchops import explain_topk
+
+    _docs, postings, dl, stats_df, stats = tiny
+    rows = [("x", "alpha", 1), ("x", "beta", 2)]
+    out = explain_topk(
+        rows, postings, dl, stats_df, stats, BM25_K1, BM25_B, 3
+    ).collect()
+    assert out
+    sums = {}
+    for r in out:
+        sums[(r["query_id"], r["doc_id"])] = (
+            sums.get((r["query_id"], r["doc_id"]), 0.0) + r["contrib"]
+        )
+    qterms = spark.createDataFrame(rows, "query_id string, term string, qtf int")
+    served = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in topk(
+            score_bm25(
+                qterms, postings.join(dl, "doc_id"), stats_df, stats,
+                BM25_K1, BM25_B,
+            ), 3,
+        ).collect()
+    }
+    assert set(sums) == set(served)
+    for key in sums:
+        assert sums[key] == pytest.approx(served[key], abs=1e-5)
+    # corpus facts: doc 0 has alpha tf=2, beta tf=3; df(alpha)=3
+    facts = {(r["doc_id"], r["term"]): (r["tf"], r["df"]) for r in out}
+    if (0, "alpha") in facts:
+        assert facts[(0, "alpha")] == (2, 3)
