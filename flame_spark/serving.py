@@ -73,6 +73,7 @@ class WarehouseServer:
         n_parts: int | None = None,
         tombstone_limit: int | None = 1_000_000,
         on_backlog: str = "error",
+        pin_snapshot: str | None = None,
     ):
         if on_backlog not in ("error", "merge"):
             raise ValueError(
@@ -85,6 +86,14 @@ class WarehouseServer:
         )
         self.tombstone_limit = tombstone_limit
         self.on_backlog = on_backlog
+        #: time travel: serve THIS committed snapshot instead of
+        #: following HEAD. Deletes filed after the pin still apply
+        #: (the exclude set is computed against the pinned snapshot's
+        #: folded_tombstones) — right-to-be-forgotten reaches
+        #: historical reads too. Artifacts are the warehouse's current
+        #: (append-only, hash-base-pinned) model, a superset of the
+        #: pinned snapshot's vocabulary.
+        self.pin_snapshot = pin_snapshot
         self._snap_id: str | None = None
         self._segments = None
         self._index = None
@@ -130,7 +139,12 @@ class WarehouseServer:
         a folded list from a NEWER merge, under-excluding."""
         changed = False
         sig = self._tombstone_signature()
-        head = self.idx.warehouse.snapshot_log.current_id()
+        if self.pin_snapshot is not None:
+            head = self.pin_snapshot
+            # fail loudly on an unknown/expired pin before any query
+            self.idx.warehouse.snapshot_log.manifest(head)
+        else:
+            head = self.idx.warehouse.snapshot_log.current_id()
         if head is None:
             raise RuntimeError(
                 "WarehouseServer: no committed snapshot (merge first)"

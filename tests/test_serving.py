@@ -242,3 +242,47 @@ def test_server_dirichlet_family(spark, tmp_path):
     srv.close()
     assert srv._dl is None
     full.unpersist()
+
+
+def test_server_time_travel_pin(spark, tmp_path):
+    """pin_snapshot serves a fixed committed snapshot while HEAD moves
+    on — and deletes filed AFTER the pin still apply to it (the
+    forget contract reaches historical reads)."""
+    full = transcripts_df(spark, 12, 5).persist()
+    idx = IncrementalIndexer(str(tmp_path / "wh"), CFG, hash_base=2**32)
+    idx.initial_build(full.filter(F.col("conv_id") < "conv000006"))
+    idx.merge_segments(spark)
+    srv = WarehouseServer(idx, spark)
+    r_snap1 = srv.query(Q, k=200)
+    snap1 = srv.snapshot_id
+
+    idx.ingest(full.filter(F.col("conv_id") >= "conv000006"), on_oov="extend")
+    idx.merge_segments(spark)
+    r_head = srv.query(Q, k=200)
+    assert srv.snapshot_id != snap1
+    assert {d for _, _, d, _ in r_head} > {d for _, _, d, _ in r_snap1}
+
+    pinned = WarehouseServer(idx, spark, pin_snapshot=snap1)
+    r_pin = pinned.query(Q, k=200)
+    assert r_pin == r_snap1  # tuple-identical historical read
+    assert pinned.snapshot_id == snap1
+
+    # a delete filed now must vanish from the PINNED read too
+    import os
+
+    top_doc = next(d for _, rank, d, _ in r_pin if rank == 1)
+    docmap = spark.read.parquet(os.path.join(idx.root, "docmap"))
+    conv = docmap.filter(F.col("doc_id") == top_doc).collect()[0]["conv_id"]
+    idx.delete_conversations(spark, [conv])
+    deleted = set(idx.deleted_doc_ids(spark).tolist())
+    r_pin2 = pinned.query(Q, k=200)
+    assert not any(d in deleted for _, _, d, _ in r_pin2)
+    assert pinned.snapshot_id == snap1
+
+    # unknown pin fails loudly at the first query
+    bad = WarehouseServer(idx, spark, pin_snapshot="no-such-snapshot")
+    with pytest.raises(FileNotFoundError):
+        bad.query(Q)
+    pinned.close()
+    srv.close()
+    full.unpersist()
