@@ -36,7 +36,7 @@ def _zip_package(dest: str) -> str:
 
 
 def _run(zpath, src, wh, queries, fmt=None, expect_rc=0, curate=False,
-         unit=None, ranker=None):
+         unit=None, ranker=None, route=None):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip must be the ONLY package source
     env["PYSPARK_PYTHON"] = sys.executable
@@ -47,6 +47,8 @@ def _run(zpath, src, wh, queries, fmt=None, expect_rc=0, curate=False,
         fmt_args.append(f"--unit={unit}")
     if ranker:
         fmt_args.append(f"--ranker={ranker}")
+    if route:
+        fmt_args.append(f"--route={route}")
     r = subprocess.run(
         [
             _spark_submit(), "--master", "local[4]",
@@ -95,6 +97,33 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     out2 = _run(zpath, src, wh, queries)
     assert out2[0]["snapshot"] == build["snapshot"]
     assert out2[1:] == results
+
+
+def test_spark_submit_routing(spark, tmp_path):
+    """--route percolates every indexed doc against stored queries and
+    writes the routing table into the warehouse."""
+    from flame_spark.data import transcripts_df
+
+    src = str(tmp_path / "transcripts")
+    transcripts_df(spark, 10, 5).write.parquet(src)
+    zpath = _zip_package(str(tmp_path))
+    wh = str(tmp_path / "wh")
+    rfile = str(tmp_path / "routes.json")
+    with open(rfile, "w") as f:
+        json.dump([
+            {"query_id": "r0", "must": ["nomine"]},
+            {"query_id": "r1", "must": ["zzzqqq"]},
+        ], f)
+    out = _run(zpath, src, wh, [], route=rfile)
+    build = out[0]
+    assert build["routing"]["matches"].get("r0", 0) > 0
+    assert "r1" not in build["routing"]["matches"]
+    routed = spark.read.parquet(build["routing"]["path"])
+    got = {r["query_id"] for r in routed.select("query_id").distinct().collect()}
+    assert got == {"r0"}
+    # every routed doc really contains the must term
+    docmap_docs = routed.count()
+    assert docmap_docs == build["routing"]["matches"]["r0"]
 
 
 def test_spark_submit_dirichlet_ranker(spark, tmp_path):

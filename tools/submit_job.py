@@ -4,6 +4,7 @@
     spark-submit --master local[8] --py-files /tmp/flame_spark.zip \\
         tools/submit_job.py [--format=parquet|orc|jsonl|csv] \\
         [--unit=turn|conv] [--curate] [--ranker=bm25|dirichlet] \\
+        [--route=<stored_queries.json>] \\
         <transcripts_path> <warehouse_dir> [n_shards] [queries_json]
 
 ``--format`` routes the source through sources.read_transcripts, so an
@@ -24,6 +25,13 @@ per-posting scores; ``dirichlet`` serves the query-likelihood family
 from the SAME warehouse snapshot, recomputing from the stored tf
 streams (wand.dirichlet_topk_segments; the (doc_id, dl) table is
 reconstructed from the segments once).
+
+``--route`` percolates every indexed document against a registry of
+stored boolean queries (searchops.percolate; the JSON file holds
+[{query_id, must, should, must_not, min_should}, ...]) and writes the
+(query_id, doc_id) routing table to <warehouse_dir>/routing — the
+alerting/tagging pass of the pipeline, run on the same corpus pass
+cadence as the build.
 
 ``--curate`` runs the training-set curation composition
 (textops.curate_docs: PII redaction -> repetition filter -> exact
@@ -52,6 +60,7 @@ from pyspark.sql import SparkSession, functions as F
 
 def main(argv: list[str]) -> int:
     fmt, curate, unit, ranker = "parquet", False, "turn", "bm25"
+    route_file = None
     while argv and argv[0].startswith("--"):
         if argv[0].startswith("--format="):
             fmt = argv[0].split("=", 1)[1]
@@ -61,6 +70,8 @@ def main(argv: list[str]) -> int:
                 raise SystemExit(f"unknown --ranker: {ranker}")
         elif argv[0] == "--curate":
             curate = True
+        elif argv[0].startswith("--route="):
+            route_file = argv[0].split("=", 1)[1]
         elif argv[0].startswith("--unit="):
             unit = argv[0].split("=", 1)[1]
             if unit not in ("turn", "conv"):
@@ -120,6 +131,32 @@ def main(argv: list[str]) -> int:
     # as ONE atomic snapshot commit: readers of the warehouse keep the
     # previous snapshot until every shard is built; a re-run of the same
     # input commits nothing (idempotent)
+    routing = None
+    if route_file:
+        import os as _os
+
+        from flame_spark.searchops import percolate
+        from flame_spark.textops import word_tokens_col
+
+        with open(route_file, encoding="utf-8") as f:
+            stored = json.load(f)
+        toks = tdf.select(
+            "doc_id", word_tokens_col(F.col("text")).alias("tokens")
+        )
+        route_path = _os.path.join(wh_dir, "routing")
+        matches = percolate(stored, toks).persist()
+        matches.write.mode("overwrite").parquet(route_path)
+        routing = {
+            "path": route_path,
+            "matches": {
+                r["query_id"]: r["cnt"]
+                for r in matches.groupBy("query_id")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            },
+        }
+        matches.unpersist()
+
     wh = SegmentWarehouse(wh_dir)
     snap = snapshot_id(scored, ["term", "doc_id", "tf"])
     sid = wh.build_snapshot(
@@ -129,7 +166,7 @@ def main(argv: list[str]) -> int:
     segs = wh.read_snapshot(spark)
     print(json.dumps({"segments": segs.count(), "snapshot": sid,
                       "input_snapshot": snap, "n_docs": stats.n_docs,
-                      "unit": unit, "curation": curation}))
+                      "unit": unit, "curation": curation, "routing": routing}))
 
     if queries:
         serving = ServingIndex(
