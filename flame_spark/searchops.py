@@ -947,6 +947,42 @@ def hybrid_rrf_topk(
     )
 
 
+def normalize_stored_queries(pqueries: list[dict]) -> list[dict]:
+    """Validate + normalize a stored-query registry — ONE definition of
+    the percolation contract shared by the batch (``percolate``) and
+    streaming (``streaming.percolate_stream``) deployments. Returns
+    [{query_id, must, should, must_not, min_should, clause_of}] with
+    min_should defaulted to 1 for must-less queries (the Lucene/ES
+    convention) and clause_of the term -> clause map."""
+    out = []
+    for q in pqueries:
+        qid = q["query_id"]
+        must = list(q.get("must") or [])
+        should = list(q.get("should") or [])
+        must_not = list(q.get("must_not") or [])
+        if not must and not should:
+            raise ValueError(f"percolate: query {qid!r} has no positive term")
+        seen: dict = {}
+        for clause, terms in (("must", must), ("should", should),
+                              ("must_not", must_not)):
+            for t in terms:
+                if t in seen:
+                    raise ValueError(
+                        f"percolate: term {t!r} in both {seen[t]!r} and "
+                        f"{clause!r} of query {qid!r}"
+                    )
+                seen[t] = clause
+        min_should = q.get("min_should")
+        if min_should is None:
+            min_should = 1 if not must else 0
+        out.append({
+            "query_id": qid, "must": must, "should": should,
+            "must_not": must_not, "min_should": int(min_should),
+            "clause_of": seen,
+        })
+    return out
+
+
 def percolate(pqueries: list[dict], docs_tokens: DataFrame) -> DataFrame:
     """Reverse search (the Elasticsearch percolator): match every
     document against a registry of STORED boolean queries — the
@@ -974,29 +1010,10 @@ def percolate(pqueries: list[dict], docs_tokens: DataFrame) -> DataFrame:
     """
     spark = docs_tokens.sparkSession
     rows = []
-    for q in pqueries:
-        qid = q["query_id"]
-        must = list(q.get("must") or [])
-        should = list(q.get("should") or [])
-        must_not = list(q.get("must_not") or [])
-        if not must and not should:
-            raise ValueError(f"percolate: query {qid!r} has no positive term")
-        seen: dict = {}
-        for clause, terms in (("must", must), ("should", should),
-                              ("must_not", must_not)):
-            for t in terms:
-                if t in seen:
-                    raise ValueError(
-                        f"percolate: term {t!r} in both {seen[t]!r} and "
-                        f"{clause!r} of query {qid!r}"
-                    )
-                seen[t] = clause
-        min_should = q.get("min_should")
-        if min_should is None:
-            min_should = 1 if not must else 0
+    for q in normalize_stored_queries(pqueries):
         rows.extend(
-            (qid, t, c, len(must), int(min_should))
-            for t, c in seen.items()
+            (q["query_id"], t, c, len(q["must"]), q["min_should"])
+            for t, c in q["clause_of"].items()
         )
     qdf = spark.createDataFrame(
         rows,

@@ -231,3 +231,80 @@ def run_windowed_event_counts_once(
     rows = spark.sql(f"SELECT * FROM {query_name}").collect()
     q.stop()
     return rows
+
+
+def percolate_stream(
+    spark: SparkSession, input_dir: str, stored_queries: list[dict]
+) -> DataFrame:
+    """Streaming percolation: route each transcript turn against the
+    stored-query registry the moment its file lands — the ALERTING
+    deployment of searchops.percolate (same contract, one
+    ``normalize_stored_queries`` definition).
+
+    Deliberately STATELESS: each turn is matched row-locally against
+    the broadcast-literal registry (explode over the query structs,
+    array_intersect containment tests — all JVM-side), so the output
+    is pure append with no watermark, no state store, and one
+    microbatch of alert latency. Row work is O(registry size); for
+    registries past a few thousand stored queries, run the batch
+    ``percolate`` shape (inverted term->query join) on a cadence
+    instead. -> streaming (query_id, conv_id, turn_idx).
+    """
+    from .searchops import normalize_stored_queries
+
+    qs = normalize_stored_queries(stored_queries)
+    qcol = F.array(*[
+        F.struct(
+            F.lit(q["query_id"]).alias("query_id"),
+            F.array(*[F.lit(t) for t in q["must"]]).cast(
+                "array<string>").alias("must"),
+            F.array(*[F.lit(t) for t in q["should"]]).cast(
+                "array<string>").alias("should"),
+            F.array(*[F.lit(t) for t in q["must_not"]]).cast(
+                "array<string>").alias("must_not"),
+            F.lit(q["min_should"]).alias("min_should"),
+        )
+        for q in qs
+    ])
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # per-file alert latency
+        .parquet(input_dir)
+    )
+    rows = stream.select(
+        "conv_id",
+        "turn_idx",
+        F.array_distinct(word_tokens_col(F.col("text"))).alias("dt"),
+        F.explode(qcol).alias("q"),
+    )
+    matched = rows.where(
+        (F.size(F.array_intersect("dt", "q.must")) == F.size("q.must"))
+        & (F.size(F.array_intersect("dt", "q.should"))
+           >= F.col("q.min_should"))
+        & (F.size(F.array_intersect("dt", "q.must_not")) == 0)
+    )
+    return matched.select(
+        F.col("q.query_id").alias("query_id"), "conv_id", "turn_idx"
+    )
+
+
+def run_percolate_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    stored_queries: list[dict],
+    query_name: str = "percolate_alerts",
+):
+    """Drive the alert stream over the files currently present (append
+    mode, memory sink); returns (rows, n_batches)."""
+    out = percolate_stream(spark, input_dir, stored_queries)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    rows = spark.sql(f"SELECT * FROM {query_name}").collect()
+    q.stop()
+    return rows, n_batches

@@ -36,3 +36,50 @@ def test_stateful_conversation_state(spark, tmp_path):
     c = Counter(r["conv_id"] for r in rows)
     assert max(c.values()) >= 2
     full.unpersist()
+
+
+def test_percolate_stream_matches_batch_contract(spark, tmp_path):
+    """Streaming percolation == the batch percolate contract on the
+    same data (brute-force replay), across multiple microbatches, pure
+    append (each match emitted exactly once)."""
+    import re
+
+    from pyspark.sql import functions as F
+    from flame_spark.data import transcripts_df
+    from flame_spark.streaming import run_percolate_stream_once
+
+    full = transcripts_df(spark, 8, 6).persist()
+    d = tmp_path / "in"; d.mkdir()
+    p1 = full.filter(F.col("turn_idx") < 3)
+    p2 = full.filter(F.col("turn_idx") >= 3)
+    p1.coalesce(1).write.mode("overwrite").parquet(str(d / "f1.parquet"))
+    p2.coalesce(1).write.mode("overwrite").parquet(str(d / "f2.parquet"))
+
+    stored = [
+        {"query_id": "r0", "must": ["nomine"], "must_not": ["zzzqqq"]},
+        {"query_id": "r1", "should": ["amen", "trinitatis"], "min_should": 2},
+        {"query_id": "rz", "must": ["zzzqqq"]},
+    ]
+    rows, n_batches = run_percolate_stream_once(spark, str(d / "*"), stored)
+    assert n_batches >= 2
+    got = {(r["query_id"], r["conv_id"], r["turn_idx"]) for r in rows}
+    assert len(got) == len(rows)  # pure append: no duplicate alerts
+
+    def toks(t):
+        return set(x for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x)
+
+    exp = set()
+    for r in full.collect():
+        dt = toks(r["text"])
+        for q in stored:
+            must = set(q.get("must") or [])
+            should = q.get("should") or []
+            mn = set(q.get("must_not") or [])
+            ms = q.get("min_should", 0 if must else 1)
+            if (must <= dt and len(dt & set(should)) >= ms
+                    and not (dt & mn)):
+                exp.add((q["query_id"], r["conv_id"], r["turn_idx"]))
+    assert got == exp
+    assert any(k[0] == "r0" for k in got)  # the formulaic term fires
+    assert not any(k[0] == "rz" for k in got)
+    full.unpersist()
