@@ -116,6 +116,15 @@ PERC_QUERIES = [
     {"query_id": "pc2", "must": ["merge"], "should": ["join", "sort"]},
     {"query_id": "pc3", "must": ["zzzmissing"]},
 ]
+# streaming percolation gate: stored queries routed against the staged
+# 3-turn conversation stream (sp3's must term is OOV -> no alerts)
+STREAM_PERC_QUERIES = [
+    {"query_id": "sp0", "must": ["table", "scan"]},
+    {"query_id": "sp1", "should": ["window", "filter", "stream"],
+     "min_should": 2},
+    {"query_id": "sp2", "must": ["merge"], "must_not": ["vector"]},
+    {"query_id": "sp3", "must": ["zzzmissing"]},
+]
 # winnowing (MOSS) fingerprints: char k-grams, window w, min-shared
 # cutoff for the text-reuse pair gate
 WINNOW_K = 7
@@ -2111,18 +2120,13 @@ FROM events GROUP BY user_id
 """
 
 
-def q_stream_conv_state(spark, sf_dir):
-    """Gate for ``conversation_state_stream`` (the per-conversation
-    stateful operator): each document becomes a 3-turn conversation
-    (text split into thirds), the three turns arrive in three separate
-    microbatches (staged by turn_idx, maxFilesPerTrigger=1), so every
-    conversation's state MUST carry across batches; the final emission
-    per conversation must equal the batch ground truth (SQL oracle)."""
+def _three_turn_stage(spark, sf_dir) -> tuple[str, str]:
+    """Staged 3-turn conversations derived from the documents table
+    (text split into floor-thirds; one file per turn_idx so the turns
+    arrive in separate microbatches under maxFilesPerTrigger=1).
+    Shared by the streaming gates. -> (stage_dir, tag)."""
     import hashlib
     import os
-    import uuid
-
-    from .streaming import conversation_state_stream
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
@@ -2166,7 +2170,21 @@ def q_stream_conv_state(spark, sf_dir):
                 "overwrite"
             ).parquet(f"{dest}/turn{i}.parquet")
 
-    stage_dir = _staged_dir("flame_stream_conv", tag, _build_conv_stage)
+    return _staged_dir("flame_stream_conv", tag, _build_conv_stage), tag
+
+
+def q_stream_conv_state(spark, sf_dir):
+    """Gate for ``conversation_state_stream`` (the per-conversation
+    stateful operator): each document becomes a 3-turn conversation
+    (text split into thirds), the three turns arrive in three separate
+    microbatches (staged by turn_idx, maxFilesPerTrigger=1), so every
+    conversation's state MUST carry across batches; the final emission
+    per conversation must equal the batch ground truth (SQL oracle)."""
+    import uuid
+
+    from .streaming import conversation_state_stream
+
+    stage_dir, tag = _three_turn_stage(spark, sf_dir)
     agg = conversation_state_stream(spark, f"{stage_dir}/*")
     qname = f"conv_state_{tag}_{uuid.uuid4().hex[:6]}"
     q = (
@@ -2203,6 +2221,73 @@ SELECT printf('c%08d', doc_id::INT) AS conv_id,
        2::INT AS max_turn_idx
 FROM documents
 """
+
+
+def q_stream_percolate(spark, sf_dir):
+    """Gate for ``streaming.percolate_stream``: the stored-query
+    registry routed against the staged 3-turn conversation stream
+    (one microbatch per turn file), checked against a full SQL
+    percolation oracle over the same derived turns."""
+    from .streaming import run_percolate_stream_once
+
+    stage_dir, _tag = _three_turn_stage(spark, sf_dir)
+    rows, _n = run_percolate_stream_once(
+        spark, f"{stage_dir}/*", STREAM_PERC_QUERIES,
+        query_name=f"perc_{_tag}",
+    )
+    return spark.createDataFrame(
+        [(r["query_id"], r["conv_id"], int(r["turn_idx"])) for r in rows]
+        or [("__none__", "__none__", -1)],
+        "query_id string, conv_id string, turn_idx int",
+    ).where(F.col("turn_idx") >= 0)
+
+
+def _sql_stream_percolate():
+    from .searchops import normalize_stored_queries
+
+    rows = []
+    for q in normalize_stored_queries(STREAM_PERC_QUERIES):
+        rows.extend(
+            f"('{q['query_id']}', '{t}', '{c}', {len(q['must'])}, "
+            f"{q['min_should']})"
+            for t, c in q["clause_of"].items()
+        )
+    values = ",\n    ".join(rows)
+    toks_t = _TOKS_SQL.replace("(text,", "(t,")
+    return f"""
+WITH base AS (
+  SELECT printf('c%08d', doc_id::INT) AS conv_id, text,
+         (length(text) // 3)::INT AS third
+  FROM documents
+),
+turns AS (
+  SELECT conv_id, 0 AS turn_idx, substring(text, 1, third) AS t FROM base
+  UNION ALL
+  SELECT conv_id, 1, substring(text, third + 1, third) FROM base
+  UNION ALL
+  SELECT conv_id, 2, substring(text, 2 * third + 1) FROM base
+),
+dt AS (
+  SELECT DISTINCT conv_id, turn_idx, term
+  FROM (SELECT conv_id, turn_idx, unnest({toks_t}) AS term FROM turns)
+),
+q(query_id, term, clause, n_must, min_should) AS (VALUES
+    {values}),
+a AS (
+  SELECT q.query_id, dt.conv_id, dt.turn_idx,
+         count(CASE WHEN q.clause = 'must' THEN 1 END) AS mh,
+         count(CASE WHEN q.clause = 'should' THEN 1 END) AS sh,
+         count(CASE WHEN q.clause = 'must_not' THEN 1 END) AS ng,
+         any_value(q.n_must) AS n_must,
+         any_value(q.min_should) AS min_should
+  FROM dt JOIN q USING (term) GROUP BY 1, 2, 3
+)
+SELECT query_id, conv_id, turn_idx::INT AS turn_idx FROM a
+WHERE mh = n_must AND sh >= min_should AND ng = 0
+"""
+
+
+SQL_STREAM_PERCOLATE = _sql_stream_percolate()
 
 
 def q_autotune(spark, sf_dir):
@@ -3698,6 +3783,7 @@ QUERIES = {
     "stream_events_window5m": q_stream_events_window,
     "stream_user_state": q_stream_user_state,
     "stream_conv_state": q_stream_conv_state,
+    "stream_percolate": q_stream_percolate,
     # rows-only (non-SQL-expressible) engine paths
     "autotune_grid": q_autotune,
     "mm_image_features": q_multimodal_features,
@@ -3779,6 +3865,7 @@ ORACLE_SQL = {
     # final emissions must equal the batch GROUP BY
     "stream_user_state": SQL_STREAM_USER_STATE,
     "stream_conv_state": SQL_STREAM_CONV_STATE,
+    "stream_percolate": SQL_STREAM_PERCOLATE,
     # the WAND engine path is score-identical to exhaustive BM25, so
     # the full normalize->LNO->segments->WAND chain gets a value oracle
     "wand_topk_lno": SQL_WAND_TOPK_LNO,
