@@ -344,3 +344,35 @@ def test_winnow_long_doc_raises(spark):
     )
     with pytest.raises(Exception, match="chunk upstream"):
         winnow_fingerprints(df, k=7, w=4).count()
+
+
+def test_winnow_guarantee_property(spark):
+    """Property (Schleimer et al. Thm 1): for ANY two texts sharing a
+    planted substring of length >= w + k - 1, winnowing selects at
+    least one shared fingerprint. Driven by hypothesis over random
+    low-alphabet texts (worst case for hash ties)."""
+    from hypothesis import given, settings, strategies as st
+
+    from flame_spark.textops import winnow_fingerprints
+
+    K, W = 5, 3
+    alpha = st.text(alphabet="abc ", min_size=0, max_size=30)
+    shared = st.text(alphabet="abc", min_size=K + W - 1, max_size=K + W + 4)
+
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(pre=alpha, post=alpha, mid=shared, other=alpha)
+    def collect(pre, post, mid, other):
+        cases.append((pre + mid + post, other + mid))
+
+    collect()
+    docs = [(i * 2, a) for i, (a, _b) in enumerate(cases)]
+    docs += [(i * 2 + 1, b) for i, (_a, b) in enumerate(cases)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k=K, w=W).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i in range(len(cases)):
+        a, b = fps.get(i * 2, set()), fps.get(i * 2 + 1, set())
+        assert a & b, (i, cases[i])
