@@ -3471,21 +3471,15 @@ def q_percolate(spark, sf_dir):
 
 
 def _sql_percolate():
+    from .searchops import normalize_stored_queries
+
     rows = []
-    for q in PERC_QUERIES:
-        qid = q["query_id"]
-        must = list(q.get("must") or [])
-        should = list(q.get("should") or [])
-        must_not = list(q.get("must_not") or [])
-        ms = q.get("min_should")
-        if ms is None:
-            ms = 1 if not must else 0
-        for clause, terms in (("must", must), ("should", should),
-                              ("must_not", must_not)):
-            rows.extend(
-                f"('{qid}', '{t}', '{clause}', {len(must)}, {int(ms)})"
-                for t in terms
-            )
+    for q in normalize_stored_queries(PERC_QUERIES):
+        rows.extend(
+            f"('{q['query_id']}', '{t}', '{c}', {len(q['must'])}, "
+            f"{q['min_should']})"
+            for t, c in q["clause_of"].items()
+        )
     values = ",\n    ".join(rows)
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),

@@ -955,8 +955,12 @@ def normalize_stored_queries(pqueries: list[dict]) -> list[dict]:
     min_should defaulted to 1 for must-less queries (the Lucene/ES
     convention) and clause_of the term -> clause map."""
     out = []
+    seen_ids: set = set()
     for q in pqueries:
         qid = q["query_id"]
+        if qid in seen_ids:
+            raise ValueError(f"percolate: duplicate query_id {qid!r}")
+        seen_ids.add(qid)
         must = list(q.get("must") or [])
         should = list(q.get("should") or [])
         must_not = list(q.get("must_not") or [])
@@ -975,9 +979,18 @@ def normalize_stored_queries(pqueries: list[dict]) -> list[dict]:
         min_should = q.get("min_should")
         if min_should is None:
             min_should = 1 if not must else 0
+        min_should = int(min_should)
+        if min_should < 0 or (not must and min_should < 1):
+            # a must-less query with min_should < 1 would CLAIM to match
+            # docs sharing no term with it — results an inverted index
+            # cannot enumerate, so the registry is rejected up front
+            raise ValueError(
+                f"percolate: query {qid!r} has min_should={min_should}; "
+                "must-less queries need min_should >= 1"
+            )
         out.append({
             "query_id": qid, "must": must, "should": should,
-            "must_not": must_not, "min_should": int(min_should),
+            "must_not": must_not, "min_should": min_should,
             "clause_of": seen,
         })
     return out
@@ -1053,11 +1066,12 @@ def explain_topk(
 ) -> DataFrame:
     """Scoring explain (the Lucene ``Explanation`` analog): for each
     query's top-k documents, the per-term score breakdown — tf, df,
-    idf and the exact contribution qtf * (idf * tf_comp) that entered
-    the deterministic fold. The breakdown rows come from the SAME
+    idf and the contribution qtf * (idf * tf_comp) that entered the
+    deterministic fold. The breakdown rows come from the SAME
     ``bm25.contributions`` stage ``score_bm25`` aggregates (one
-    formula definition), so summing ``contrib`` per (query, doc)
-    reproduces the served score bit-for-bit.
+    formula definition): the pre-round contributions re-sum to the
+    served score bit-for-bit; the DELIVERED rows are rounded to 6 dp,
+    so their sum reproduces it to that rounding.
     -> (query_id, rank, doc_id, term, tf, df, idf, contrib), idf and
     contrib at 6 dp.
 

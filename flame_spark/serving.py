@@ -87,12 +87,19 @@ class WarehouseServer:
         self.tombstone_limit = tombstone_limit
         self.on_backlog = on_backlog
         #: time travel: serve THIS committed snapshot instead of
-        #: following HEAD. Deletes filed after the pin still apply
-        #: (the exclude set is computed against the pinned snapshot's
-        #: folded_tombstones) — right-to-be-forgotten reaches
-        #: historical reads too. Artifacts are the warehouse's current
-        #: (append-only, hash-base-pinned) model, a superset of the
-        #: pinned snapshot's vocabulary.
+        #: following HEAD. Deletes filed after the pin apply to pinned
+        #: reads WHILE the tombstone table holds them (the exclude set
+        #: is computed against the pinned snapshot's
+        #: folded_tombstones). Full-erasure forgetting is
+        #: purge_tombstones' job: its default expire_old_snapshots=True
+        #: expires pre-delete snapshots so stale pins fail loudly;
+        #: purging with expire_old_snapshots=False KEEPS time travel at
+        #: the documented cost that retained pre-delete snapshots can
+        #: still serve the purged docs. Artifacts are the warehouse's
+        #: current (append-only, hash-base-pinned) model, a superset of
+        #: the pinned snapshot's vocabulary. Note the exclude set of a
+        #: long-lived pin grows with ALL deletes since the pin (no
+        #: merge can fold them into a frozen snapshot).
         self.pin_snapshot = pin_snapshot
         self._snap_id: str | None = None
         self._segments = None
@@ -197,7 +204,11 @@ class WarehouseServer:
                     and self.tombstone_limit is not None
                     and excl.size > self.tombstone_limit
                 ):
-                    if self.on_backlog == "merge" and not _retried:
+                    if (
+                        self.on_backlog == "merge"
+                        and not _retried
+                        and self.pin_snapshot is None
+                    ):
                         # fold the backlog into a fresh snapshot, then
                         # re-resolve; _retried caps this at one merge —
                         # tombstones for zero-feature docs never change
@@ -206,6 +217,14 @@ class WarehouseServer:
                         # livelock
                         self.idx.merge_segments(self.spark)
                         return self.refresh(_retried=True)
+                    if self.pin_snapshot is not None:
+                        raise TombstoneBacklogError(
+                            f"{excl.size} deletes since pinned snapshot "
+                            f"{self.pin_snapshot} exceed tombstone_limit="
+                            f"{self.tombstone_limit}; a merge cannot fold "
+                            "deletes into a frozen snapshot — unpin, or "
+                            "raise the limit for this historical reader"
+                        )
                     raise TombstoneBacklogError(
                         f"{excl.size} unmerged tombstoned docs exceed "
                         f"tombstone_limit={self.tombstone_limit}; run "

@@ -253,6 +253,19 @@ def percolate_stream(
     from .searchops import normalize_stored_queries
 
     qs = normalize_stored_queries(stored_queries)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # per-file alert latency
+        .parquet(input_dir)
+    )
+    if not qs:
+        # all rules retired: a valid alert stream that never fires
+        # (the batch path returns an empty frame here — same contract)
+        return stream.where(F.lit(False)).select(
+            F.lit(None).cast("string").alias("query_id"),
+            "conv_id",
+            "turn_idx",
+        )
     qcol = F.array(*[
         F.struct(
             F.lit(q["query_id"]).alias("query_id"),
@@ -266,11 +279,6 @@ def percolate_stream(
         )
         for q in qs
     ])
-    stream = (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)  # per-file alert latency
-        .parquet(input_dir)
-    )
     rows = stream.select(
         "conv_id",
         "turn_idx",

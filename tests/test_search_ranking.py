@@ -600,6 +600,20 @@ def test_percolate_contract_errors(spark, tiny):
         percolate(
             [{"query_id": "q", "must": ["alpha"], "should": ["alpha"]}], toks
         )
+    # duplicate registry ids would make the combined aggregate pick an
+    # arbitrary definition's n_must/min_should
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        percolate(
+            [{"query_id": "q", "must": ["alpha"]},
+             {"query_id": "q", "must": ["beta", "gamma"]}], toks
+        )
+    # a must-less query with min_should < 1 claims matches no inverted
+    # index can enumerate
+    with pytest.raises(ValueError, match="min_should"):
+        percolate(
+            [{"query_id": "q", "should": ["alpha"], "min_should": 0}], toks
+        )
+    assert percolate([], toks).count() == 0
 
 
 # ---------------------------------------------------------------------------

@@ -83,3 +83,17 @@ def test_percolate_stream_matches_batch_contract(spark, tmp_path):
     assert any(k[0] == "r0" for k in got)  # the formulaic term fires
     assert not any(k[0] == "rz" for k in got)
     full.unpersist()
+
+
+def test_percolate_stream_empty_registry_is_silent(spark, tmp_path):
+    """All rules retired: the alert stream runs and emits nothing
+    (the batch path's empty-result contract, not a crash)."""
+    from pyspark.sql import functions as F
+    from flame_spark.data import transcripts_df
+    from flame_spark.streaming import run_percolate_stream_once
+
+    full = transcripts_df(spark, 3, 4)
+    d = tmp_path / "in"; d.mkdir()
+    full.coalesce(1).write.mode("overwrite").parquet(str(d / "f1.parquet"))
+    rows, _n = run_percolate_stream_once(spark, str(d / "*"), [])
+    assert rows == []

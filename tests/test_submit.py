@@ -118,6 +118,10 @@ def test_spark_submit_routing(spark, tmp_path):
     build = out[0]
     assert build["routing"]["matches"].get("r0", 0) > 0
     assert "r1" not in build["routing"]["matches"]
+    # versioned alongside the snapshot model (review fix): the table
+    # lives under routing/<input_snapshot> and covers only INDEXED docs
+    assert build["input_snapshot"] in build["routing"]["path"]
+    assert build["routing"]["matches"]["r0"] <= build["n_docs"]
     routed = spark.read.parquet(build["routing"]["path"])
     got = {r["query_id"] for r in routed.select("query_id").distinct().collect()}
     assert got == {"r0"}

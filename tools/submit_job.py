@@ -26,12 +26,14 @@ from the SAME warehouse snapshot, recomputing from the stored tf
 streams (wand.dirichlet_topk_segments; the (doc_id, dl) table is
 reconstructed from the segments once).
 
-``--route`` percolates every indexed document against a registry of
-stored boolean queries (searchops.percolate; the JSON file holds
-[{query_id, must, should, must_not, min_should}, ...]) and writes the
-(query_id, doc_id) routing table to <warehouse_dir>/routing — the
-alerting/tagging pass of the pipeline, run on the same corpus pass
-cadence as the build.
+``--route`` percolates every INDEXED document (after the
+min_text_length filter) against a registry of stored boolean queries
+(searchops.percolate; the JSON file holds [{query_id, must, should,
+must_not, min_should}, ...]) and writes the (query_id, doc_id) routing
+table to <warehouse_dir>/routing/<input_snapshot> AFTER the snapshot
+commit — versioned alongside the append-only snapshot model, so a
+failed build leaves no routing table and older tables survive for
+time-travel pins.
 
 ``--curate`` runs the training-set curation composition
 (textops.curate_docs: PII redaction -> repetition filter -> exact
@@ -131,6 +133,17 @@ def main(argv: list[str]) -> int:
     # as ONE atomic snapshot commit: readers of the warehouse keep the
     # previous snapshot until every shard is built; a re-run of the same
     # input commits nothing (idempotent)
+    wh = SegmentWarehouse(wh_dir)
+    snap = snapshot_id(scored, ["term", "doc_id", "tf"])
+    sid = wh.build_snapshot(
+        scored, stats.n_docs, cfg.n_shards, cfg.block_size, snap,
+        operation="build", summary={"source": src},
+    )
+    # routing runs AFTER the snapshot commit and over exactly the
+    # INDEXED docs (left-semi with the prepared corpus — prepare_docs'
+    # min_text_length filter applies), versioned by input snapshot so a
+    # failed build can never leave a routing table describing an
+    # uncommitted corpus and older tables survive for time-travel pins
     routing = None
     if route_file:
         import os as _os
@@ -140,10 +153,10 @@ def main(argv: list[str]) -> int:
 
         with open(route_file, encoding="utf-8") as f:
             stored = json.load(f)
-        toks = tdf.select(
+        toks = tdf.join(docs.select("doc_id"), "doc_id", "left_semi").select(
             "doc_id", word_tokens_col(F.col("text")).alias("tokens")
         )
-        route_path = _os.path.join(wh_dir, "routing")
+        route_path = _os.path.join(wh_dir, "routing", snap)
         matches = percolate(stored, toks).persist()
         matches.write.mode("overwrite").parquet(route_path)
         routing = {
@@ -157,12 +170,6 @@ def main(argv: list[str]) -> int:
         }
         matches.unpersist()
 
-    wh = SegmentWarehouse(wh_dir)
-    snap = snapshot_id(scored, ["term", "doc_id", "tf"])
-    sid = wh.build_snapshot(
-        scored, stats.n_docs, cfg.n_shards, cfg.block_size, snap,
-        operation="build", summary={"source": src},
-    )
     segs = wh.read_snapshot(spark)
     print(json.dumps({"segments": segs.count(), "snapshot": sid,
                       "input_snapshot": snap, "n_docs": stats.n_docs,
