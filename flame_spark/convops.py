@@ -111,3 +111,34 @@ def conversation_windows(
         F.length(chunk).cast("long").alias("n_chars"),
         chunk.alias("chunk"),
     )
+
+
+def conversation_tool_stats(turns: DataFrame) -> DataFrame:
+    """Per-conversation agent-behavior profile over raw transcript
+    turns — the slicing signal a training pipeline uses to select
+    agent data (tool-using conversations only, tool mix, call
+    density). ``turns``: the canonical transcript schema
+    (conv_id, turn_idx, role, text, tool, ts); a turn "calls a tool"
+    iff its ``tool`` column is non-null (the input contract's
+    semantics — ``role`` labels the speaker, ``tool`` names the
+    invocation).
+
+    -> (conv_id, n_turns, n_tool_calls, n_distinct_tools, tools,
+    first_tool_turn): ``tools`` is the sorted distinct non-null tool
+    list (empty for tool-free conversations), ``first_tool_turn`` the
+    earliest tool-calling turn_idx (NULL when none).
+
+    Scale shape: ONE conv_id-keyed aggregation with map-side partial
+    aggregates; per-group state is bounded by the conversation's
+    distinct tool set, not its turn count.
+    """
+    tools_distinct = F.array_distinct(F.collect_list("tool"))
+    return turns.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.count("tool").cast("long").alias("n_tool_calls"),
+        F.size(tools_distinct).cast("long").alias("n_distinct_tools"),
+        F.array_sort(tools_distinct).alias("tools"),
+        F.min(
+            F.when(F.col("tool").isNotNull(), F.col("turn_idx"))
+        ).alias("first_tool_turn"),
+    )

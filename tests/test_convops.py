@@ -112,3 +112,55 @@ def test_assembly_partitioning_invariant(spark):
     a = _rows(conversation_docs(_turns(spark, rows).coalesce(1)))
     b = _rows(conversation_docs(_turns(spark, rows).repartition(13)))
     assert a == b
+
+
+def test_conversation_tool_stats(spark):
+    """Tool-usage profile vs an independent per-row replay over the
+    canonical synthetic transcripts (which carry real role/tool
+    values), plus a hand-built conversation with multiple tools and a
+    tool-free one."""
+    from flame_spark.convops import conversation_tool_stats
+    from flame_spark.data import transcripts_df
+
+    full = transcripts_df(spark, 10, 6).persist()
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_tool_calls"], r["n_distinct_tools"],
+            list(r["tools"]), r["first_tool_turn"],
+        )
+        for r in conversation_tool_stats(full).collect()
+    }
+    exp = {}
+    for r in full.collect():
+        st = exp.setdefault(r["conv_id"], [0, 0, set(), None])
+        st[0] += 1
+        if r["tool"] is not None:
+            st[1] += 1
+            st[2].add(r["tool"])
+            if st[3] is None or r["turn_idx"] < st[3]:
+                st[3] = r["turn_idx"]
+    assert got == {
+        c: (n, k, len(ts), sorted(ts), ft)
+        for c, (n, k, ts, ft) in exp.items()
+    }
+    assert any(v[1] > 0 for v in got.values())  # tool turns exist
+    full.unpersist()
+
+    hand = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi", None, None),
+            ("c1", 1, "assistant", "let me check", "search", None),
+            ("c1", 2, "tool", "result", "browser", None),
+            ("c1", 3, "assistant", "again", "search", None),
+            ("c2", 0, "user", "plain chat", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in conversation_tool_stats(hand).collect()}
+    assert out["c1"]["n_tool_calls"] == 3
+    assert list(out["c1"]["tools"]) == ["browser", "search"]
+    assert out["c1"]["first_tool_turn"] == 1
+    assert out["c2"]["n_tool_calls"] == 0
+    assert list(out["c2"]["tools"]) == []
+    assert out["c2"]["first_tool_turn"] is None
