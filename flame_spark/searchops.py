@@ -92,6 +92,19 @@ from .bm25 import _det_sum
 from .postings import CorpusStats
 
 
+def _pruned_postings_dl(
+    postings: DataFrame, dl: DataFrame, qterms: DataFrame
+) -> DataFrame:
+    """postings pruned to the query-term set (broadcast LEFT SEMI on
+    term) BEFORE the doc-length join — guide §3: reduce the big side
+    before shuffling it. score_bm25's own inner query join drops the
+    non-query-term rows anyway, so pruning first changes no surviving
+    row or value; it only keeps the corpus-sized posting stream out of
+    the dl exchange."""
+    keep = F.broadcast(qterms.select("term").distinct())
+    return postings.join(keep, "term", "leftsemi").join(dl, "doc_id")
+
+
 def boolean_topk(
     qdefs_rows: list[tuple],
     postings: DataFrame,
@@ -144,7 +157,10 @@ def boolean_topk(
             (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
         ).alias("idf"),
     )
-    joined = postings.join(dl, "doc_id").join(F.broadcast(q_idf), "term")
+    # prune postings with the broadcast query side BEFORE attaching dl
+    # (guide: reduce the big side before shuffling it) — inner joins
+    # commute, so the surviving rows and values are identical
+    joined = postings.join(F.broadcast(q_idf), "term").join(dl, "doc_id")
     denom_dl = 1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl)
     tf_comp = (F.col("tf") * (k1 + 1.0)) / (F.col("tf") + F.lit(k1) * denom_dl)
     contrib = F.when(
@@ -389,7 +405,8 @@ def fuzzy_topk(
         .withColumn("qtf", F.lit(1))
     )
     scored = score_bm25(
-        qterms, postings.join(dl, "doc_id"), stats_df, stats, k1, b
+        qterms, _pruned_postings_dl(postings, dl, qterms), stats_df, stats,
+        k1, b,
     )
     return topk(scored, k).select(
         "query_id",
@@ -457,10 +474,12 @@ def bm25f_topk(
     qterms = spark.createDataFrame(
         qterms_rows, "query_id string, term string, qtf int"
     )
-    postings_dl = (
+    postings_dl = _pruned_postings_dl(
         wtf.select(
             F.col("conv_id").alias("doc_id"), "term", F.col("wtf").alias("tf")
-        ).join(dl.select(F.col("conv_id").alias("doc_id"), "dl"), "doc_id")
+        ),
+        dl.select(F.col("conv_id").alias("doc_id"), "dl"),
+        qterms,
     )
     scored = score_bm25(
         qterms,
@@ -573,7 +592,8 @@ def more_like_this(
         .select("query_id", "term", F.lit(1).alias("qtf"))
     )
     scored = score_bm25(
-        qterms, postings.join(dl, "doc_id"), stats_df, stats, k1, b
+        qterms, _pruned_postings_dl(postings, dl, qterms), stats_df, stats,
+        k1, b,
     ).where(F.col("doc_id") != F.col("query_id"))
     return topk(scored, k).select(
         F.col("query_id").alias("seed_doc_id"),
@@ -820,9 +840,14 @@ def prf_topk(
     qterms = spark.createDataFrame(
         qterms_rows, "query_id string, term string, qtf int"
     )
-    pdl = postings.join(dl, "doc_id")
     fb = (
-        topk(score_bm25(qterms, pdl, stats_df, stats, k1, b), fb_k)
+        topk(
+            score_bm25(
+                qterms, _pruned_postings_dl(postings, dl, qterms),
+                stats_df, stats, k1, b,
+            ),
+            fb_k,
+        )
         .select("query_id", "doc_id")
     )
     cand = (
@@ -845,7 +870,9 @@ def prf_topk(
         .select("query_id", "term", F.lit(1).alias("qtf"))
     )
     q2 = qterms.unionByName(expansion)
-    scored = score_bm25(q2, pdl, stats_df, stats, k1, b)
+    scored = score_bm25(
+        q2, _pruned_postings_dl(postings, dl, q2), stats_df, stats, k1, b
+    )
     return topk(scored, k).select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
@@ -908,7 +935,10 @@ def hybrid_rrf_topk(
         qterms_rows, "query_id string, term string, qtf int"
     )
     lex = topk(
-        score_bm25(qterms, postings.join(dl, "doc_id"), stats_df, stats, k1, b),
+        score_bm25(
+            qterms, _pruned_postings_dl(postings, dl, qterms),
+            stats_df, stats, k1, b,
+        ),
         k_lex,
     ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
     vec_ids = sorted({int(v) for _q, v in qvec_rows})
@@ -1086,7 +1116,7 @@ def explain_topk(
     qterms = spark.createDataFrame(
         qterms_rows, "query_id string, term string, qtf int"
     )
-    pdl = postings.join(dl, "doc_id")
+    pdl = _pruned_postings_dl(postings, dl, qterms)
     top = topk(
         score_bm25(qterms, pdl, stats_df, stats, k1, b), k
     ).select("query_id", "rank", "doc_id")

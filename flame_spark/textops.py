@@ -188,28 +188,102 @@ def shingle_base_hash_col(shingle_col):
     return F.conv(F.substring(F.md5(shingle_col), 1, 8), 16, 10).cast("long")
 
 
-def minhash_signatures(
-    docs: DataFrame, n: int = 3, num_hashes: int = 32, text_col: str = "text"
+def _minhash_wide(
+    docs: DataFrame, n: int, num_hashes: int, text_col: str
 ) -> DataFrame:
-    """(doc_id, i, minhash) — MinHash over word n-gram shingles.
-
-    The permutations are affine (A_i x + B_i) mod P with exact int64
-    arithmetic (products < 2^53). Computed JVM-side: explode shingles,
-    cross with the hash-index range, min per (doc, i)."""
+    """(doc_id, _h0..) — one MIN aggregate per permutation over the
+    shingle rows: one codegen'd groupBy(doc_id) pass, NO row
+    multiplication. (The previous shape exploded a hash-index range
+    against every shingle row — rows x num_hashes through a two-column
+    hash aggregate, the dominant cost of the LSH gate at bench scale;
+    the wide form feeds the aggregate exactly the shingle rows and
+    shuffles one row per doc.)"""
     sh = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_ngrams_col(word_tokens_col(F.col(text_col)), n))
         ).alias("shingle"),
     ).withColumn("x", shingle_base_hash_col(F.col("shingle")))
-    hs = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
-    a = F.lit(MINHASH_A0) + F.lit(MINHASH_A_STEP) * F.col("i")
-    b = F.lit(MINHASH_B0) + F.lit(MINHASH_B_STEP) * F.col("i")
+    mins = [
+        F.min(
+            (
+                F.lit(MINHASH_A0 + MINHASH_A_STEP * i) * F.col("x")
+                + F.lit(MINHASH_B0 + MINHASH_B_STEP * i)
+            )
+            % F.lit(MINHASH_P)
+        ).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, i, minhash) — MinHash over word n-gram shingles.
+
+    The permutations are affine (A_i x + B_i) mod P with exact int64
+    arithmetic (products < 2^53). Computed via the wide per-doc
+    aggregate (``_minhash_wide``); the (i, minhash) long form is a
+    trivial ``inline`` over the finished per-doc row (num_hashes *
+    n_docs rows, nothing upstream multiplied). Values identical to the
+    explode-the-index-range formulation: min over the same affine-hash
+    multiset, per i."""
+    wide = _minhash_wide(docs, n, num_hashes, text_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), F.col(f"_h{i}").alias("minhash")
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.inline(pairs))
+
+
+def _band_slices(num_hashes: int, band_rows: int) -> list[tuple[int, list[int]]]:
+    """[(band, [hash indices in i order]), ...] — band = i // band_rows."""
+    return [
+        (b, list(range(b * band_rows, min((b + 1) * band_rows, num_hashes))))
+        for b in range(-(-num_hashes // band_rows))
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    band_rows: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding candidate pairs straight from the wide signature
+    aggregate: band keys are a pure projection over the per-doc row
+    (concat_ws of the band's minhash columns in i order — exactly the
+    string ``minhash_lsh_candidates`` assembles from the long form via
+    collect_list/array_sort), so the whole pipeline is one shingle
+    explode + one groupBy(doc_id) + one equi-join on (band, band_key).
+    Same pair set as minhash_lsh_candidates(minhash_signatures(...))."""
+    wide = _minhash_wide(docs, n, num_hashes, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"_h{i}").cast("string") for i in idxs]
+                ).alias("band_key"),
+            )
+            for b, idxs in _band_slices(num_hashes, band_rows)
+        ]
+    )
+    banded = wide.select("doc_id", F.inline(bands))
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        sh.select("doc_id", "x", hs)
-        .withColumn("h", (a * F.col("x") + b) % F.lit(MINHASH_P))
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("minhash"))
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
     )
 
 
@@ -245,7 +319,14 @@ def minhash_lsh_candidates(
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit-family SimHash (60 bits): per-bit weighted majority over
-    token md5 hashes, weight = token tf. JVM-side only."""
+    token md5 hashes, weight = token tf. JVM-side only.
+
+    The 60 per-bit sums run as 60 parallel SUM aggregates in ONE
+    codegen'd groupBy(doc_id) pass over the (doc, token) tf rows — no
+    bit-index explode (the previous shape multiplied every tf row by
+    60 through a (doc_id, j) hash aggregate); the final word assembles
+    from the finished per-doc row in a single projection. Per-bit sums,
+    majority rule and the bit weights are value-identical."""
     toks = (
         docs.select("doc_id", F.explode(word_tokens_col(F.col(text_col))).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -254,26 +335,23 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
         )
     )
-    bits = toks.select(
-        "doc_id",
-        "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(h >> j) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
-    )
-    return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") >= 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.col("bit").cast("long") * F.pow(F.lit(2.0), F.col("j")).cast("long")
-            ).alias("simhash")
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"_s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    wide = toks.groupBy("doc_id").agg(*bit_sums)
+    word = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        word = term if word is None else word + term
+    return wide.select("doc_id", word.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -493,12 +571,14 @@ def repetition_scores(
     - ``uniq_token_ratio``: distinct / total tokens,
     - ``repetitive``: top2 OR dup3 over its threshold.
 
-    Scale shape: per-size explode -> (doc_id, gram) count -> per-doc
-    aggregate — two shuffles keyed by doc_id with map-side partial
-    aggregation, linear in corpus tokens. The all-JVM array alternative
-    (count each distinct gram via a filter over the gram array) is
-    shuffle-free but O(distinct x total) per doc, which dies on
-    book-length docs; the explode path survives them."""
+    Scale shape: ONE tagged explode of the 2- and 3-grams together ->
+    one (doc_id, n, gram) count -> one per-doc conditional aggregate —
+    two shuffles keyed by doc_id with map-side partial aggregation,
+    linear in corpus tokens (the per-size-explode formulation paid the
+    tokenize + explode + both exchanges once PER SIZE). The all-JVM
+    array alternative (count each distinct gram via a filter over the
+    gram array) is shuffle-free but O(distinct x total) per doc, which
+    dies on book-length docs; the explode path survives them."""
     toks = docs.select("doc_id", word_tokens_col(F.col(text_col)).alias("tk"))
     base = toks.select(
         "doc_id",
@@ -507,23 +587,36 @@ def repetition_scores(
         "tk",
     )
 
-    def gram_counts(n):
-        return (
-            base.select(
-                "doc_id", F.explode(word_ngrams_col(F.col("tk"), n)).alias("g")
-            )
-            .groupBy("doc_id", "g")
-            .agg(F.count("*").alias("c"))
+    def tagged(n):
+        return F.transform(
+            word_ngrams_col(F.col("tk"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
         )
 
-    a2 = gram_counts(2).groupBy("doc_id").agg(
-        F.sum("c").alias("t2"), F.max("c").alias("m2")
+    counts = (
+        base.select(
+            "doc_id",
+            F.explode(F.concat(tagged(2), tagged(3))).alias("s"),
+        )
+        .groupBy("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+        .agg(F.count("*").alias("c"))
     )
-    a3 = gram_counts(3).groupBy("doc_id").agg(
-        F.sum("c").alias("t3"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("d3"),
+    # conditional sums reproduce the per-size aggregates exactly,
+    # including their null semantics: a doc with no grams of size n has
+    # only non-matching rows here, so the filtered sums/max are NULL —
+    # the same NULL its missing row produced under the left joins
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    aggs = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is2, F.col("c"))).alias("t2"),
+        F.max(F.when(is2, F.col("c"))).alias("m2"),
+        F.sum(F.when(is3, F.col("c"))).alias("t3"),
+        F.sum(
+            F.when(is3 & (F.col("c") > 1), F.col("c")).otherwise(
+                F.when(is3, F.lit(0))
+            )
+        ).alias("d3"),
     )
-    out = base.drop("tk").join(a2, "doc_id", "left").join(a3, "doc_id", "left")
+    out = base.drop("tk").join(aggs, "doc_id", "left")
     top2 = F.when(F.col("t2") > 0, F.col("m2") / F.col("t2").cast("double")).otherwise(
         F.lit(0.0)
     )
@@ -669,11 +762,15 @@ def collocations(
     unstable for rare pairs — standard practice).
     -> (w1, w2, c12, pmi) with pmi rounded to 6 dp.
 
-    Scale shape: one token pass for the unigram counts, one for the
-    bigram counts (both hash aggregations with map-side combine), two
-    vocabulary-keyed equi-joins to attach the marginals; the T1/T2
-    totals are JVM-side sums over per-doc token counts (no extra
-    explode). Linear in corpus tokens, no all-pairs anywhere.
+    Scale shape: ONE tagged token+bigram explode feeding one hash
+    aggregation with map-side combine — the unigram and bigram counts
+    are filters over the same (n, gram) count table, so the executed
+    plan computes the explode and its exchange once and reuses them for
+    every marginal branch (the per-size formulation tokenized and
+    exploded separately per size); two vocabulary-keyed equi-joins
+    attach the marginals; the T1/T2 totals are JVM-side sums over
+    per-doc token counts (no extra explode). Linear in corpus tokens,
+    no all-pairs anywhere.
     """
     from .floatops import np_log
 
@@ -685,20 +782,29 @@ def collocations(
     t1, t2 = float(totals["t1"] or 0), float(totals["t2"] or 0)
     if t2 == 0:
         raise ValueError("collocations: corpus has no bigrams")
-    uni = (
-        toks.select(F.explode("tk").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").cast("double").alias("c"))
+    tagged = F.concat(
+        F.transform(
+            F.col("tk"), lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))
+        ),
+        F.transform(
+            word_ngrams_col(F.col("tk"), 2),
+            lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+        ),
+    )
+    counts = (
+        toks.select(F.explode(tagged).alias("s"))
+        .groupBy(F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    uni = counts.where(F.col("n") == 1).select(
+        F.col("g").alias("w"), F.col("cnt").cast("double").alias("c")
     )
     big = (
-        toks.select(F.explode(word_ngrams_col(F.col("tk"), 2)).alias("g"))
-        .groupBy("g")
-        .agg(F.count("*").alias("c12"))
-        .where(F.col("c12") >= min_count)
+        counts.where((F.col("n") == 2) & (F.col("cnt") >= min_count))
         .select(
             F.split("g", " ").getItem(0).alias("w1"),
             F.split("g", " ").getItem(1).alias("w2"),
-            "c12",
+            F.col("cnt").alias("c12"),
         )
     )
     joined = (
