@@ -451,11 +451,14 @@ def dirichlet_topk_serve(
     (doc_id, dl) table reconstructed once per snapshot by
     wand.doc_lengths_from_segments. All queries score in one
     distributed job. Returns [(query_id, rank, doc_id, score), ...]."""
-    from .wand import dirichlet_topk_segments
+    from .wand import dirichlet_topk_segments_rows
 
-    qterms = query_terms_local(spark, queries, index)
-    out = dirichlet_topk_segments(
-        qterms, segments_sharded, dl_df, mu, k, exclude_docs, c_total
+    # the query pipeline runs on the driver; hand the rows straight to
+    # the rows-based scorer instead of round-tripping them through a
+    # createDataFrame + collect per batch
+    qrows = query_term_rows(queries, index)
+    out = dirichlet_topk_segments_rows(
+        qrows, segments_sharded, dl_df, mu, k, exclude_docs, c_total
     )
     return [
         (r["query_id"], r["rank"], r["doc_id"], r["score"])

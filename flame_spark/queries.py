@@ -396,11 +396,11 @@ SQL_O4_VOCAB = (
 
 def q_t5_shingles(spark, sf_dir):
     return (
-        _docs(spark, sf_dir)
+        _tokenized_docs(spark, sf_dir)
         .select(
             "doc_id",
             F.explode(
-                word_ngrams_col(word_tokens_col(F.col("text")), SHINGLE_N)
+                word_ngrams_col(F.col("tokens"), SHINGLE_N)
             ).alias("shingle"),
         )
         .groupBy("doc_id", "shingle")
@@ -1066,7 +1066,7 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
             .withColumnRenamed("shingle", "term")
             .persist()
         )
-        n_docs = _docs(spark, sf_dir).count()
+        n_docs = _tokenized_docs(spark, sf_dir).count()
         stats_df = term_stats(sh_tf.select("term", "doc_id", "tf")).persist()
         weights = tfidf_normalized(
             sh_tf.select("term", "doc_id", F.col("tf").cast("int").alias("tf")),
@@ -1122,7 +1122,7 @@ def q_cosine_inter(spark, sf_dir):
         .select("term", "doc_id", F.col("tf").cast("int").alias("tf"))
         .persist()
     )
-    n_union = _docs(spark, sf_dir).count()
+    n_union = _tokenized_docs(spark, sf_dir).count()
     p1 = sh_tf.filter(F.col("doc_id") % 2 == 0)
     p2 = sh_tf.filter(F.col("doc_id") % 2 == 1)
     w1, w2 = tfidf_normalized_inter(p1, p2, n_union)
@@ -1696,8 +1696,8 @@ def q_otsu_threshold(spark, sf_dir):
 
     pairs = q_tfidf_cosine_pairs(spark, sf_dir)
     n_docs_feat = (
-        _docs(spark, sf_dir)
-        .select(F.size(word_tokens_col(F.col("text"))).alias("n"))
+        _tokenized_docs(spark, sf_dir)
+        .select(F.size("tokens").alias("n"))
         .filter(F.col("n") >= SHINGLE_N)
         .count()
     )
@@ -1761,9 +1761,17 @@ def _lno_index(spark, sf_dir):
     from .fastbuild import build_serving_index
 
     def build():
+        # scale-adaptive doc-range shard count: ~one shard per core of
+        # the session (floor 8) — a constant 8 starves the segment
+        # encode stage (one applyInPandas task per shard) on wide
+        # sessions, and on a real cluster shards should track executor
+        # width. Every gate over this index is shard-count-invariant
+        # (doc-level top-k / per-term audit stats), so this is a plan
+        # change, not a semantic one.
         cfg = FlameConfig(
             ngram=3, n_out=1, min_text_length=0, tokenizer="word",
-            term_mode="lno", n_shards=8,
+            term_mode="lno",
+            n_shards=max(8, int(spark.conf.get("spark.sql.shuffle.partitions"))),
         )
         # two-exchange build (segment bytes byte-equal to the general
         # path, tests/test_fastbuild.py); WAND only needs segments +
@@ -1958,7 +1966,8 @@ def q_wand_boolean_serve(spark, sf_dir):
     serving, segments = _lno_index(spark, sf_dir)
 
     def build():
-        return segments_for_serving(segments, 8)
+        n = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        return segments_for_serving(segments, n)
 
     cache = _memo(spark, sf_dir, "lno_serve_cache", build)
     rows = wand_boolean_serve_batch(BOOL_LNO_QUERIES, serving, cache, k=BM25_K)
@@ -1983,8 +1992,8 @@ def q_wand_serve_batch(spark, sf_dir):
     serving, segments = _lno_index(spark, sf_dir)
 
     def build():
-        cache = segments_for_serving(segments, 8)
-        return cache
+        n = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        return segments_for_serving(segments, n)
 
     cache = _memo(spark, sf_dir, "lno_serve_cache", build)
     queries = [
@@ -3736,7 +3745,39 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM p GROUP BY term
 # registry
 # ---------------------------------------------------------------------------
 
+#: Ordered so the 24 gates the driver's 50-query cap did NOT reach in
+#: round 5 (everything after search_hybrid_rrf in the r5 ordering) lead
+#: the dict this round — the driver checks the first 50 entries, so
+#: coverage rotates across rounds (VERDICT r5 item 7). The set and
+#: semantics of every entry are unchanged; only dict insertion order
+#: moved.
 QUERIES = {
+    # -- r6 rotation: the 24 gates CORRECTNESS_r05 lacked -------------
+    "search_percolate": q_percolate,
+    "search_explain": q_explain_topk,
+    "text_keywords": q_text_keywords,
+    "text_collocations": q_collocations,
+    "index_audit_stats": q_index_audit,
+    "ann_cosine_topk": q_ann_bruteforce,
+    "events_window5m": q_events_window,
+    "stream_events_window5m": q_stream_events_window,
+    "stream_user_state": q_stream_user_state,
+    "stream_conv_state": q_stream_conv_state,
+    "stream_percolate": q_stream_percolate,
+    "autotune_grid": q_autotune,
+    "mm_image_features": q_multimodal_features,
+    "a8_otsu_threshold": q_otsu_threshold,
+    "wand_topk_lno": q_wand_topk_lno,
+    "wand_serve_batch": q_wand_serve_batch,
+    "wand_dirichlet_lno": q_wand_dirichlet_lno,
+    "wand_boolean_lno": q_wand_boolean_lno,
+    "wand_boolean_serve": q_wand_boolean_serve,
+    "ann_ivf_topk": q_ann_ivf,
+    "t3_bpe_tokens": q_bpe_tokens,
+    "inc_merge_segments": q_incremental_merge,
+    "inc_extend_segments": q_incremental_extend,
+    "inc_delete_segments": q_incremental_delete,
+    # -- the 50 gates CORRECTNESS_r05 checked -------------------------
     "s2_normalize": q_s2_normalize,
     "p2_mufi_fold": q_p2_mufi_fold,
     "p7_phonetic": q_p7_phonetic,
@@ -3787,31 +3828,6 @@ QUERIES = {
     "search_near_topk": q_near_topk,
     "search_prf_topk": q_prf_topk,
     "search_hybrid_rrf": q_hybrid_rrf,
-    "search_percolate": q_percolate,
-    "search_explain": q_explain_topk,
-    "text_keywords": q_text_keywords,
-    "text_collocations": q_collocations,
-    "index_audit_stats": q_index_audit,
-    "ann_cosine_topk": q_ann_bruteforce,
-    "events_window5m": q_events_window,
-    "stream_events_window5m": q_stream_events_window,
-    "stream_user_state": q_stream_user_state,
-    "stream_conv_state": q_stream_conv_state,
-    "stream_percolate": q_stream_percolate,
-    # rows-only (non-SQL-expressible) engine paths
-    "autotune_grid": q_autotune,
-    "mm_image_features": q_multimodal_features,
-    "a8_otsu_threshold": q_otsu_threshold,
-    "wand_topk_lno": q_wand_topk_lno,
-    "wand_serve_batch": q_wand_serve_batch,
-    "wand_dirichlet_lno": q_wand_dirichlet_lno,
-    "wand_boolean_lno": q_wand_boolean_lno,
-    "wand_boolean_serve": q_wand_boolean_serve,
-    "ann_ivf_topk": q_ann_ivf,
-    "t3_bpe_tokens": q_bpe_tokens,
-    "inc_merge_segments": q_incremental_merge,
-    "inc_extend_segments": q_incremental_extend,
-    "inc_delete_segments": q_incremental_delete,
 }
 
 ORACLE_SQL = {

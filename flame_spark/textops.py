@@ -321,12 +321,15 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit-family SimHash (60 bits): per-bit weighted majority over
     token md5 hashes, weight = token tf. JVM-side only.
 
-    The 60 per-bit sums run as 60 parallel SUM aggregates in ONE
-    codegen'd groupBy(doc_id) pass over the (doc, token) tf rows — no
-    bit-index explode (the previous shape multiplied every tf row by
-    60 through a (doc_id, j) hash aggregate); the final word assembles
-    from the finished per-doc row in a single projection. Per-bit sums,
-    majority rule and the bit weights are value-identical."""
+    Kept as the bit-index explode + two-stage hash aggregate ON
+    PURPOSE: the measured alternative — 60 parallel conditional SUM
+    aggregates in one groupBy(doc_id) — is ~25% SLOWER here (60
+    aggregate buffers blow the whole-stage-codegen budget and the
+    aggregate falls back to interpreted evaluation), while the explode
+    rows are narrow and partial aggregation collapses them before the
+    exchange (measured r6: 1.6 s vs 2.0 s at sf0.1/32 cores; the
+    16-buffer MinHash wide aggregate stays comfortably inside codegen
+    and IS the faster shape there)."""
     toks = (
         docs.select("doc_id", F.explode(word_tokens_col(F.col(text_col))).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -335,23 +338,26 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
         )
     )
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-                F.col("tf"),
-            ).otherwise(-F.col("tf"))
-        ).alias(f"_s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    wide = toks.groupBy("doc_id").agg(*bit_sums)
-    word = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"_s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    bits = toks.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(h >> j) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") >= 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("bit").cast("long") * F.pow(F.lit(2.0), F.col("j")).cast("long")
+            ).alias("simhash")
         )
-        word = term if word is None else word + term
-    return wide.select("doc_id", word.alias("simhash"))
+    )
 
 
 # ---------------------------------------------------------------------------

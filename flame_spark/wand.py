@@ -793,14 +793,6 @@ def dirichlet_topk_segments(
     holds it (it is constant per snapshot — WarehouseServer caches it
     next to the dl table); None computes it from ``dl_df``.
     """
-    spark = segments.sparkSession
-    excl_arr = _normalize_exclude(exclude_docs)
-
-    if c_total is None:
-        c_total = float(dl_df.agg(F.sum("dl")).collect()[0][0] or 0.0)
-    if c_total <= 0.0:
-        raise ValueError("dirichlet_topk_segments: empty index (C = 0)")
-
     # qterms is a tiny driver-created DataFrame in every caller (the
     # query pipeline output) — pulling it back is bounded by the query
     # set, not the corpus
@@ -808,14 +800,27 @@ def dirichlet_topk_segments(
         (r["query_id"], int(r["term"]), float(r["qtf"]))
         for r in qterms.collect()
     ]
-    uterms = sorted({t for _, t, _ in qrows})
-    out_schema = "query_id string, doc_id long, score double"
-    if not uterms:
-        partial = spark.createDataFrame([], out_schema)
-    else:
-        seg = bounded_in_filter(segments, "term", uterms).select(
-            "shard", "term", "first_doc", "last_doc", "doc_deltas", "tfs"
-        )
+    return dirichlet_topk_segments_rows(
+        qrows, segments, dl_df, mu, k, exclude_docs, c_total
+    )
+
+
+def _cf_for_terms(segments: DataFrame, uterms: list) -> dict:
+    """cf (collection frequency) per query term, decoded from the
+    pruned segment rows — with a PER-SNAPSHOT memo attached to the
+    segments DataFrame handle: cf is index metadata (constant until
+    the next merge swaps the snapshot's segments handle), exactly like
+    the dl table the callers already reuse across queries, so repeat
+    queries over one serving cache skip the cf job entirely. The memo
+    lives on the DF object — a snapshot swap hands out a fresh handle,
+    so staleness is impossible; only the queried terms are ever
+    materialized (bounded by query size, never vocabulary-sized)."""
+    cache = getattr(segments, "_flame_dirichlet_cf", None)
+    if cache is None:
+        cache = {}
+        segments._flame_dirichlet_cf = cache
+    missing = [t for t in uterms if t not in cache]
+    if missing:
 
         @F.pandas_udf("long")
         def row_tf_sum(tfb: pd.Series) -> pd.Series:
@@ -824,15 +829,50 @@ def dirichlet_topk_segments(
                 dtype="int64",
             )
 
-        # cf over the DISTINCT query terms' segment rows (pruned scan);
-        # the collected map is bounded by the query-term count
-        cf = {
-            int(r["term"]): float(r["cf"])
-            for r in seg.select("term", row_tf_sum(F.col("tfs")).alias("rtf"))
+        rows = (
+            bounded_in_filter(segments, "term", missing)
+            .select("term", row_tf_sum(F.col("tfs")).alias("rtf"))
             .groupBy("term")
             .agg(F.sum("rtf").alias("cf"))
             .collect()
-        }
+        )
+        for r in rows:
+            cache[int(r["term"])] = float(r["cf"])
+    return {t: cache[t] for t in uterms if t in cache}
+
+
+def dirichlet_topk_segments_rows(
+    qrows: list[tuple],
+    segments: DataFrame,
+    dl_df: DataFrame,
+    mu: float,
+    k: int,
+    exclude_docs=None,
+    c_total: float | None = None,
+) -> DataFrame:
+    """``dirichlet_topk_segments`` over driver-side (query_id, term,
+    qtf) rows — the serving entry: the query pipeline already produced
+    these rows on the driver, so shipping them through a DataFrame
+    just to collect them back costs a createDataFrame + collect
+    round-trip per batch."""
+    spark = segments.sparkSession
+    excl_arr = _normalize_exclude(exclude_docs)
+
+    if c_total is None:
+        c_total = float(dl_df.agg(F.sum("dl")).collect()[0][0] or 0.0)
+    if c_total <= 0.0:
+        raise ValueError("dirichlet_topk_segments: empty index (C = 0)")
+
+    qrows = [(q, int(t), float(c)) for q, t, c in qrows]
+    uterms = sorted({t for _, t, _ in qrows})
+    out_schema = "query_id string, doc_id long, score double"
+    if not uterms:
+        partial = spark.createDataFrame([], out_schema)
+    else:
+        seg = bounded_in_filter(segments, "term", uterms).select(
+            "shard", "term", "first_doc", "last_doc", "doc_deltas", "tfs"
+        )
+        cf = _cf_for_terms(segments, uterms)
         # per-query term lists in ascending-term order (the fold
         # order); Qlen counts qtf over IN-VOCABULARY terms only, as the
         # relational path does
