@@ -432,3 +432,90 @@ def test_connected_components_chain_round_bound(spark):
         connected_components_with_rounds(
             nodes, edf, algorithm="label", max_rounds=10
         )
+
+
+def test_minhash_lsh_pairs_wide_equals_long_form(spark):
+    """r6 optimization pin: the wide-aggregate banding path
+    (minhash_lsh_pairs — band keys projected off the per-doc MIN
+    aggregate row) must produce EXACTLY the pair set of the long-form
+    composition minhash_lsh_candidates(minhash_signatures(...)), for a
+    band width that divides num_hashes and one that does not."""
+    from flame_spark.textops import (
+        minhash_lsh_candidates, minhash_lsh_pairs, minhash_signatures,
+    )
+
+    docs = _docs(spark).limit(80)
+    for num_hashes, band_rows in ((16, 4), (10, 4)):
+        long_form = {
+            (r["doc_i"], r["doc_j"])
+            for r in minhash_lsh_candidates(
+                minhash_signatures(docs, n=3, num_hashes=num_hashes),
+                band_rows=band_rows,
+            ).collect()
+        }
+        wide_form = {
+            (r["doc_i"], r["doc_j"])
+            for r in minhash_lsh_pairs(
+                docs, n=3, num_hashes=num_hashes, band_rows=band_rows
+            ).collect()
+        }
+        assert wide_form == long_form
+
+
+def test_dirichlet_rows_entry_and_cf_memo(spark):
+    """r6 optimization pin: the rows-based serving entry must equal the
+    DataFrame entry tuple-for-tuple, the per-snapshot cf memo must not
+    change repeat-call results, and a FRESH segments handle (new
+    snapshot) must not inherit the old handle's memo."""
+    from flame_spark.config import FlameConfig
+    from flame_spark.fastbuild import build_serving_index
+    from flame_spark.pipeline import query_terms_local
+    from flame_spark.wand import (
+        dirichlet_topk_segments, dirichlet_topk_segments_rows,
+        doc_lengths_from_segments,
+    )
+
+    docs = _docs(spark).limit(120)
+    cfg = FlameConfig(
+        ngram=3, n_out=1, min_text_length=0, tokenizer="word",
+        term_mode="lno", n_shards=4,
+    )
+    serving = build_serving_index(docs, cfg)
+    segments = serving.segments.persist()
+    segments.count()
+    dl_df = doc_lengths_from_segments(segments).persist()
+    from flame_spark.queries import BM25_QUERIES
+
+    queries = [
+        {"query_id": qid, "query_text": qt} for qid, qt in BM25_QUERIES[:2]
+    ]
+    qterms = query_terms_local(spark, queries, serving)
+    qrows = [(r["query_id"], r["term"], r["qtf"]) for r in qterms.collect()]
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in df.collect()
+        )
+
+    df_entry = key(dirichlet_topk_segments(qterms, segments, dl_df, 2000.0, 5))
+    rows_entry = key(
+        dirichlet_topk_segments_rows(qrows, segments, dl_df, 2000.0, 5)
+    )
+    assert df_entry == rows_entry and df_entry
+    # repeat call hits the cf memo attached to the handle — identical
+    assert hasattr(segments, "_flame_dirichlet_cf")
+    assert key(
+        dirichlet_topk_segments_rows(qrows, segments, dl_df, 2000.0, 5)
+    ) == df_entry
+    # a fresh handle (snapshot swap) starts without the memo and still
+    # scores identically
+    fresh = segments.sparkSession.createDataFrame(
+        segments.collect(), segments.schema
+    )
+    assert not hasattr(fresh, "_flame_dirichlet_cf")
+    assert key(
+        dirichlet_topk_segments_rows(qrows, fresh, dl_df, 2000.0, 5)
+    ) == df_entry
+    segments.unpersist()
+    dl_df.unpersist()
