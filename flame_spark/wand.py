@@ -705,13 +705,24 @@ def doc_lengths_from_segments(segments: DataFrame) -> DataFrame:
 
     def explode_rows(it):
         for pdf in it:
-            outs = []
+            doc_parts, tf_parts = [], []
             for dd, tfb in zip(pdf["doc_deltas"].values, pdf["tfs"].values):
-                docs = np.cumsum(varbyte_decode(bytes(dd)).astype(np.int64))
-                tfs = varbyte_decode(bytes(tfb)).astype(np.int64)
-                outs.append(pd.DataFrame({"doc_id": docs, "tf": tfs}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                doc_parts.append(
+                    np.cumsum(varbyte_decode(bytes(dd)).astype(np.int64))
+                )
+                tf_parts.append(varbyte_decode(bytes(tfb)).astype(np.int64))
+            if not doc_parts:
+                continue
+            # PARTIAL per-doc aggregation inside the batch: one Arrow
+            # row per distinct doc leaves the kernel instead of one per
+            # posting (the JVM aggregate below stays the exact final
+            # combine — integer sums, order-free). bincount accumulates
+            # in float64; tf sums are exact integers far below 2^53.
+            docs = np.concatenate(doc_parts)
+            tfs = np.concatenate(tf_parts)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            sums = np.bincount(inv, weights=tfs).astype(np.int64)
+            yield pd.DataFrame({"doc_id": uniq, "tf": sums})
 
     pairs = segments.select("doc_deltas", "tfs").mapInPandas(
         explode_rows, schema="doc_id long, tf long"
